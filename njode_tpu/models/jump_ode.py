@@ -1,0 +1,452 @@
+"""TPU-native Neural Jump ODE model.
+
+Re-design of the reference ``NeuralJumpODE`` (reference: models/jump_ode.py:80-233)
+for JAX/XLA on TPU.  The reference runs three nested *Python* loops per training
+step — over trajectories (``forward``, :229), over observations
+(``forward_single``, :163) and over Euler substeps (:196) — each dispatching
+microsecond-scale kernels on ``(1, d_h)`` tensors.  Here the whole forward is
+ONE ``jax.lax.scan`` over padded observation slots ``[B, N_obs]``:
+
+* the batch axis ``B`` is a dense array dimension (vmap-free by construction,
+  shardable over a device mesh),
+* the per-moment networks are stacked on a leading ``K`` axis and vmapped
+  (replaces ``nn.ModuleList``, reference :111-113),
+* the Euler integration over each inter-observation gap is performed *lazily*
+  at the next observation slot, which preserves the reference semantics
+  exactly:
+    - ``dt_ode_step=None``: one Euler step spanning the whole gap
+      (reference :188-190),
+    - fixed ``dt_ode_step``: ``while t_cur + dt < t_next`` full steps plus a
+      final partial step to exactly ``t_next`` (reference :196-202), realised
+      as a predicated ``fori_loop`` with a static bound so shapes stay static
+      under jit.
+
+Subtle semantics preserved on purpose:
+
+* ODEFunc time features are *substep-relative*: ``t_rel = t_last`` (substep
+  start) and ``t_elapsed = t - t_last`` — NOT time since the last observation
+  (reference :59-61 with call sites :129,:137).
+* The prediction "before" the first observation is identically zero
+  (reference :161).
+* After-jump readout happens *before* the gap integration (reference
+  :167-182 precede :185-212).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .activations import get_activation, get_input_scaling
+from .mlp import (
+    count_params,
+    jump_nn_apply,
+    jump_nn_init,
+    ode_func_apply,
+    ode_func_init,
+    output_nn_apply,
+    output_nn_init,
+)
+
+Params = dict[str, Any]
+
+
+def _stack_trees(trees: Sequence[Params]) -> Params:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+class NeuralJumpODE:
+    """Pure-functional Neural Jump ODE.
+
+    Constructor signature mirrors the reference model
+    (reference: models/jump_ode.py:81-120).  Parameters live in an explicit
+    pytree returned by :meth:`init`; all ``apply``-style methods are pure and
+    jittable.
+
+    Extra TPU-native arguments:
+      t_max:   static upper bound on the time horizon, used to derive the
+               static substep-loop bound when ``dt_ode_step`` is set.
+      dtype:   parameter / compute dtype (default float32, like the reference).
+    """
+
+    def __init__(self, input_dim: int, hidden_dim: int, output_dim: int,
+                 dt_between_obs: Optional[float] = None,
+                 dt_ode_step: Optional[float] = None,
+                 num_moments: int = 1, n_hidden_layers: int = 1,
+                 activation: str = "relu", shared_network: bool = False,
+                 dropout_rate: float = 0.0, input_scaling: str = "identity",
+                 variance_method: str = "direct",
+                 t_max: float = 1.0, max_substeps: Optional[int] = None,
+                 dtype=jnp.float32):
+        self.input_dim = input_dim
+        self.hidden_dim = hidden_dim
+        self.output_dim = output_dim
+        self.dt_between_obs = dt_between_obs  # deprecated in the reference, kept for parity
+        self.dt_ode_step = dt_ode_step
+        self.num_moments = num_moments
+        self.n_hidden_layers = n_hidden_layers
+        self.activation = activation
+        self.shared_network = shared_network
+        self.dropout_rate = dropout_rate
+        self.input_scaling = input_scaling
+        self.variance_method = variance_method
+        self.t_max = t_max
+        self.dtype = dtype
+
+        self._act = get_activation(activation)
+        self._scale = get_input_scaling(input_scaling)
+
+        if max_substeps is not None:
+            self.max_substeps = max_substeps
+        elif dt_ode_step is not None:
+            # while-loop upper bound: a gap never exceeds t_max, so at most
+            # ceil(t_max/dt) full substeps occur before the final partial step.
+            self.max_substeps = int(math.ceil(t_max / dt_ode_step))
+        else:
+            self.max_substeps = 0
+
+        # number of latent states carried (shared mode carries one state for
+        # all moments, reference models/jump_ode.py:100-108)
+        self.k_hidden = 1 if shared_network else num_moments
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array) -> Params:
+        kj, ko, kr = jax.random.split(key, 3)
+        if self.shared_network:
+            return {
+                "jump": jump_nn_init(kj, self.input_dim, self.hidden_dim,
+                                     self.n_hidden_layers, self.dtype),
+                "ode": ode_func_init(ko, self.hidden_dim, self.input_dim,
+                                     self.n_hidden_layers, self.dtype),
+                "out": output_nn_init(kr, self.hidden_dim,
+                                      self.output_dim * self.num_moments,
+                                      self.n_hidden_layers, self.dtype),
+            }
+        jks = jax.random.split(kj, self.num_moments)
+        oks = jax.random.split(ko, self.num_moments)
+        rks = jax.random.split(kr, self.num_moments)
+        return {
+            "jump": _stack_trees([jump_nn_init(k, self.input_dim, self.hidden_dim,
+                                               self.n_hidden_layers, self.dtype)
+                                  for k in jks]),
+            "ode": _stack_trees([ode_func_init(k, self.hidden_dim, self.input_dim,
+                                               self.n_hidden_layers, self.dtype)
+                                 for k in oks]),
+            "out": _stack_trees([output_nn_init(k, self.hidden_dim, self.output_dim,
+                                                self.n_hidden_layers, self.dtype)
+                                 for k in rks]),
+        }
+
+    def n_params(self, params: Params) -> int:
+        return count_params(params)
+
+    # ------------------------------------------------------------- sub-nets
+
+    def _jump(self, params: Params, x: jnp.ndarray,
+              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """x: (B, d_x) -> h: (K_h, B, d_h)."""
+        if self.shared_network:
+            h = jump_nn_apply(params["jump"], x, self._act, self.dropout_rate, rng)
+            return h[None]
+        if rng is None:
+            return jax.vmap(
+                lambda p: jump_nn_apply(p, x, self._act, self.dropout_rate, None)
+            )(params["jump"])
+        rngs = jax.random.split(rng, self.num_moments)
+        return jax.vmap(
+            lambda p, r: jump_nn_apply(p, x, self._act, self.dropout_rate, r)
+        )(params["jump"], rngs)
+
+    def _readout(self, params: Params, h: jnp.ndarray,
+                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """h: (K_h, B, d_h) -> y: (B, d_y, K).
+
+        Shared mode reshapes the flat (B, d_y*K) output row-major to
+        (B, d_y, K), matching the reference's ``.view(1, d_y, num_moments)``
+        (reference models/jump_ode.py:170-172).
+        """
+        if self.shared_network:
+            y = output_nn_apply(params["out"], h[0], self._act, self.dropout_rate, rng)
+            B = y.shape[0]
+            return y.reshape(B, self.output_dim, self.num_moments)
+        if rng is not None:
+            rngs = jax.random.split(rng, self.num_moments)
+            ys = jax.vmap(
+                lambda p, hh, r: output_nn_apply(p, hh, self._act, self.dropout_rate, r)
+            )(params["out"], h, rngs)
+        else:
+            ys = jax.vmap(
+                lambda p, hh: output_nn_apply(p, hh, self._act, self.dropout_rate, None)
+            )(params["out"], h)
+        return jnp.transpose(ys, (1, 2, 0))  # (B, d_y, K)
+
+    def _ode(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
+             t_cur: jnp.ndarray, t_new: jnp.ndarray,
+             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Latent drift dh/dt.
+
+        h: (K_h, B, d_h); x_last: (B, d_x); t_cur/t_new: (B,).
+        Features exactly as reference ODEFunc.forward (models/jump_ode.py:52-63):
+        [scale(h), scale(x_last), t_rel = t_cur, t_elapsed = t_new - t_cur].
+        """
+        K_h, B, _ = h.shape
+        h_s = self._scale(h)
+        x_s = jnp.broadcast_to(self._scale(x_last)[None], (K_h, B, self.input_dim))
+        t_rel = jnp.broadcast_to(t_cur[None, :, None], (K_h, B, 1)).astype(h.dtype)
+        t_el = jnp.broadcast_to((t_new - t_cur)[None, :, None], (K_h, B, 1)).astype(h.dtype)
+        inp = jnp.concatenate([h_s, x_s, t_rel, t_el], axis=-1)
+        if self.shared_network:
+            dh = ode_func_apply(params["ode"], inp[0], self._act, self.dropout_rate, rng)
+            return dh[None]
+        if rng is not None:
+            rngs = jax.random.split(rng, self.num_moments)
+            return jax.vmap(
+                lambda p, ii, r: ode_func_apply(p, ii, self._act, self.dropout_rate, r)
+            )(params["ode"], inp, rngs)
+        return jax.vmap(
+            lambda p, ii: ode_func_apply(p, ii, self._act, self.dropout_rate, None)
+        )(params["ode"], inp)
+
+    def _euler(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
+               t_cur: jnp.ndarray, t_new: jnp.ndarray,
+               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """One Euler step h += (t_new - t_cur) * f(...) (reference :122-140)."""
+        dh = self._ode(params, h, x_last, t_cur, t_new, rng)
+        return h + (t_new - t_cur)[None, :, None] * dh
+
+    def _integrate_gap(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
+                       t_last: jnp.ndarray, t_target: jnp.ndarray,
+                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Integrate the latent state across an inter-observation gap.
+
+        Reproduces reference forward_single's gap handling (models/jump_ode.py:185-203):
+        single step when ``dt_ode_step is None``; otherwise accumulated full
+        substeps while ``t_cur + dt < t_target`` plus one final partial step.
+        The accumulated ``t_cur + dt`` float updates are kept (rather than an
+        arithmetic step count) so floating-point boundary behaviour matches
+        the reference's while loop bit-for-bit.
+        """
+        if self.dt_ode_step is None:
+            return self._euler(params, h, x_last, t_last, t_target, rng)
+
+        dt = jnp.asarray(self.dt_ode_step, dtype=t_last.dtype)
+
+        def body(j, carry):
+            h_c, t_cur = carry
+            pred = (t_cur + dt) < t_target  # (B,)
+            t_new = t_cur + dt
+            r = None if rng is None else jax.random.fold_in(rng, j)
+            h_step = self._euler(params, h_c, x_last, t_cur, t_new, r)
+            h_c = jnp.where(pred[None, :, None], h_step, h_c)
+            t_cur = jnp.where(pred, t_new, t_cur)
+            return (h_c, t_cur)
+
+        h, t_cur = lax.fori_loop(0, self.max_substeps, body, (h, t_last))
+        pred2 = t_cur < t_target
+        r = None if rng is None else jax.random.fold_in(rng, self.max_substeps)
+        h_final = self._euler(params, h, x_last, t_cur, t_target, r)
+        return jnp.where(pred2[None, :, None], h_final, h)
+
+    # ---------------------------------------------------------------- apply
+
+    def apply(self, params: Params, times: jnp.ndarray, values: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None,
+              rng: Optional[jax.Array] = None,
+              training: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched forward over padded observation slots.
+
+        Args:
+          times:  (B, N) observation times, sorted per row, padded at the END.
+          values: (B, N, d_x) observations.
+          mask:   (B, N) bool validity (True for real observations). Padding
+                  must be at the end of each row.  None = all valid.
+          rng:    dropout rng (only used when training and dropout_rate > 0).
+
+        Returns:
+          preds, preds_before: (B, N, d_y, K) — after-jump and before-jump
+          moment predictions at every slot (garbage at padded slots; mask it).
+        """
+        times = times.astype(self.dtype)
+        values = values.astype(self.dtype)
+        B, N = times.shape
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        use_rng = training and self.dropout_rate > 0.0 and rng is not None
+        base_rng = rng if use_rng else None
+
+        h0 = jnp.zeros((self.k_hidden, B, self.hidden_dim), self.dtype)
+        x0 = jnp.zeros((B, self.input_dim), self.dtype)
+        t0 = jnp.zeros((B,), self.dtype)
+
+        xs = (
+            jnp.arange(N),
+            jnp.swapaxes(times, 0, 1),           # (N, B)
+            jnp.swapaxes(values, 0, 1),          # (N, B, d_x)
+            jnp.swapaxes(mask, 0, 1),            # (N, B)
+        )
+
+        def step(carry, x):
+            h, x_last, t_last = carry
+            i, t_i, x_i, m_i = x
+            if base_rng is not None:
+                r = jax.random.fold_in(base_rng, i)
+                r_gap, r_out_b, r_jump, r_out_a = jax.random.split(r, 4)
+            else:
+                r_gap = r_out_b = r_jump = r_out_a = None
+
+            # before-jump: lazily integrate the gap [t_last, t_i] and read out.
+            h_minus = self._integrate_gap(params, h, x_last, t_last, t_i, r_gap)
+            y_before = self._readout(params, h_minus, r_out_b)
+            # prediction before the very first observation is zero
+            # (reference models/jump_ode.py:161)
+            y_before = jnp.where(i > 0, y_before, jnp.zeros_like(y_before))
+
+            # jump + after-jump readout (reference :167-182)
+            h_jump = self._jump(params, x_i, r_jump)
+            y_after = self._readout(params, h_jump, r_out_a)
+
+            # carry update only at valid observation slots
+            m_h = m_i[None, :, None]
+            m_v = m_i[:, None]
+            h_new = jnp.where(m_h, h_jump, h)
+            x_new = jnp.where(m_v, x_i, x_last)
+            t_new = jnp.where(m_i, t_i, t_last)
+            return (h_new, x_new, t_new), (y_after, y_before)
+
+        _, (ys, ys_before) = lax.scan(step, (h0, x0, t0), xs)
+        preds = jnp.moveaxis(ys, 0, 1)            # (B, N, d_y, K)
+        preds_before = jnp.moveaxis(ys_before, 0, 1)
+        return preds, preds_before
+
+    # ----------------------------------------------- reference ragged API
+
+    def forward(self, params: Params, batch_times: Sequence[jnp.ndarray],
+                batch_values: Sequence[jnp.ndarray],
+                rng: Optional[jax.Array] = None, training: bool = False):
+        """Reference-compatible ragged-list forward (models/jump_ode.py:218-233).
+
+        Accepts lists of per-trajectory (n_i,) times and (n_i, d_x) values,
+        pads to a dense batch, runs the scan once, and slices back to lists of
+        (n_i, d_y, K) arrays.
+        """
+        times, values, mask = pad_ragged(batch_times, batch_values, self.dtype)
+        preds, preds_before = self.apply(params, times, values, mask, rng, training)
+        lengths = [int(t.shape[0]) for t in batch_times]
+        out = [preds[b, :n] for b, n in enumerate(lengths)]
+        out_before = [preds_before[b, :n] for b, n in enumerate(lengths)]
+        return out, out_before
+
+    # -------------------------------------------------------- grid rollout
+
+    def predict_on_grid(self, params: Params, grid_times: jnp.ndarray,
+                        obs_mask: jnp.ndarray, path_values: jnp.ndarray,
+                        n_sub: Optional[int] = None):
+        """Dense-grid inference with the reference *plotting* semantics.
+
+        This is the single canonical rollout used by plotting and grid eval,
+        resolving the semantic drift between the reference's two inference
+        paths (model.forward vs utils/plotting.py:146-256): between
+        observations the latent state is advanced cell-by-cell with
+        ``n_sub = max(1, int(cell_dt / dt_ode_step))`` equal Euler substeps
+        (reference utils/plotting.py:164-173), at observation grid points the
+        state jumps and the emission is the after-jump readout, and the
+        rollout extrapolates past the last observation (reference :202-256).
+
+        Args:
+          grid_times: (G,) the dense time grid (uniform spacing assumed for
+                      the static substep count).
+          obs_mask:   (B, G) True where the grid point is observed.
+          path_values:(B, G, d_x) path values on the grid (only read at
+                      observed points).
+          n_sub:      static substeps per grid cell; default derived from
+                      ``dt_ode_step`` and the grid spacing.
+
+        Returns:
+          dict with 'mean' (B, G, d_y), 'var' (B, G, d_y) or None, and
+          'raw' (B, G, d_y, K).
+        """
+        grid_times = grid_times.astype(self.dtype)
+        path_values = path_values.astype(self.dtype)
+        B, G = obs_mask.shape
+        if n_sub is None:
+            if self.dt_ode_step is None:
+                n_sub = 1
+            else:
+                cell = float(grid_times[1] - grid_times[0]) if G > 1 else 0.0
+                n_sub = max(1, int(cell / self.dt_ode_step))
+
+        h0 = jnp.zeros((self.k_hidden, B, self.hidden_dim), self.dtype)
+        x0 = jnp.zeros((B, self.input_dim), self.dtype)
+        t0 = jnp.full((B,), grid_times[0], self.dtype)
+        seen0 = jnp.zeros((B,), dtype=bool)
+
+        xs = (grid_times, jnp.swapaxes(path_values, 0, 1), jnp.swapaxes(obs_mask, 0, 1))
+
+        def step(carry, x):
+            h, x_last, t_cur, seen = carry
+            t_k, x_k, m_k = x
+            t_kb = jnp.broadcast_to(t_k, (B,)).astype(self.dtype)
+
+            # integrate one grid cell with n_sub equal substeps
+            h_int = h
+            t_c = t_cur
+            dt_sub = (t_kb - t_cur) / float(n_sub)
+            for _ in range(n_sub):
+                t_n = t_c + dt_sub
+                h_int = self._euler(params, h_int, x_last, t_c, t_n)
+                t_c = t_n
+
+            h_jump = self._jump(params, x_k)
+            h_new = jnp.where(m_k[None, :, None], h_jump,
+                              jnp.where(seen[None, :, None], h_int, h))
+            x_new = jnp.where(m_k[:, None], x_k, x_last)
+            seen_new = seen | m_k
+
+            y = self._readout(params, h_new)          # (B, d_y, K)
+            y = jnp.where(seen_new[:, None, None], y, jnp.zeros_like(y))
+            return (h_new, x_new, t_kb, seen_new), y
+
+        _, ys = lax.scan(step, (h0, x0, t0, seen0), xs)
+        raw = jnp.moveaxis(ys, 0, 1)  # (B, G, d_y, K)
+        mean = raw[..., 0]
+        var = None
+        if self.num_moments > 1:
+            w = raw[..., 1]
+            if self.variance_method == "direct":
+                var = w ** 2
+            else:  # second_moment: Var = E[X^2] - E[X]^2, clipped at 0
+                var = jnp.maximum(w - mean ** 2, 0.0)
+        return {"mean": mean, "var": var, "raw": raw}
+
+
+def pad_ragged(batch_times: Sequence, batch_values: Sequence, dtype=jnp.float32):
+    """Pad ragged per-trajectory (times, values) lists to dense arrays.
+
+    Padding repeats the last valid time/value (keeps gaps non-negative so the
+    masked scan stays numerically benign) and is always at the row end.
+    """
+    import numpy as np
+
+    B = len(batch_times)
+    lengths = [int(np.asarray(t).shape[0]) for t in batch_times]
+    N = max(lengths)
+    d_x = int(np.asarray(batch_values[0]).shape[-1])
+    times = np.zeros((B, N), dtype=np.float32)
+    values = np.zeros((B, N, d_x), dtype=np.float32)
+    mask = np.zeros((B, N), dtype=bool)
+    for b, (t, v, n) in enumerate(zip(batch_times, batch_values, lengths)):
+        t = np.asarray(t, dtype=np.float32)
+        v = np.asarray(v, dtype=np.float32).reshape(n, d_x)
+        times[b, :n] = t
+        values[b, :n] = v
+        mask[b, :n] = True
+        if n < N:
+            times[b, n:] = t[-1]
+            values[b, n:] = v[-1]
+    return (jnp.asarray(times, dtype=dtype), jnp.asarray(values, dtype=dtype),
+            jnp.asarray(mask))

@@ -1,0 +1,42 @@
+"""Data / simulation layer (reference: neural_jump_ode/simulation)."""
+
+from .sde import (
+    PROCESS_TYPES,
+    TrajectoryBatch,
+    bs_paths,
+    create_trajectory_batch,
+    generate_black_scholes,
+    generate_heston,
+    generate_hybrid_ou_bs,
+    generate_ou,
+    heston_paths,
+    hybrid_ou_bs_paths,
+    n_obs_for,
+    ou_paths,
+    sample_obs_indices,
+    simulate_batch,
+    subsample_random_grid_points,
+)
+from .moments import (
+    condexp_black_scholes_on_grid,
+    condexp_heston_on_grid,
+    condexp_hybrid_on_grid,
+    condexp_ou_on_grid,
+    condvar_black_scholes_on_grid,
+    condvar_heston_on_grid,
+    condvar_ou_on_grid,
+    get_conditional_moments_at_obs,
+    moments_at_obs,
+)
+
+__all__ = [
+    "PROCESS_TYPES", "TrajectoryBatch", "bs_paths", "create_trajectory_batch",
+    "generate_black_scholes", "generate_heston", "generate_hybrid_ou_bs",
+    "generate_ou", "heston_paths", "hybrid_ou_bs_paths", "n_obs_for",
+    "ou_paths", "sample_obs_indices", "simulate_batch",
+    "subsample_random_grid_points",
+    "condexp_black_scholes_on_grid", "condexp_heston_on_grid",
+    "condexp_hybrid_on_grid", "condexp_ou_on_grid",
+    "condvar_black_scholes_on_grid", "condvar_heston_on_grid",
+    "condvar_ou_on_grid", "get_conditional_moments_at_obs", "moments_at_obs",
+]

@@ -1,0 +1,304 @@
+"""Analytic conditional moments (closed forms) — vectorized, no loops.
+
+Re-derivation of the reference's per-point Python-loop evaluators
+(reference: simulation/data_generation.py:296-922) as fully vectorized
+expressions, usable on device inside jit (this makes the relative-loss
+evaluation a pure-TPU computation — the reference round-trips the eval batch
+to the CPU, utils/training.py:237-248).
+
+Conventions preserved from the reference at-observation evaluators
+(:543-816):
+  * after-jump truth  = observed value, variance 0;
+  * before-jump truth = closed-form propagation from the previous
+    observation;
+  * first observation's before-value = the observation itself / variance 0;
+  * hybrid: regimes are split into subsequences, so the first observation in
+    the BS regime also gets before-value = itself (:744-761).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+# --------------------------------------------------------------------------
+# before-jump propagators E[X_t | X_s], Var[X_t | X_s] with s = t - dt
+# --------------------------------------------------------------------------
+
+def _bs_mean(prev: Array, dt: Array, mu: float) -> Array:
+    return prev * jnp.exp(mu * dt)
+
+
+def _bs_var(prev: Array, dt: Array, mu: float, sigma: float) -> Array:
+    return prev ** 2 * (jnp.exp(sigma ** 2 * dt) - 1.0) * jnp.exp(2.0 * mu * dt)
+
+
+def _ou_mean(prev: Array, dt: Array, theta: float, mu: float) -> Array:
+    decay = jnp.exp(-theta * dt)
+    return prev * decay + mu * (1.0 - decay)
+
+
+def _ou_var(dt: Array, theta: float, sigma: float) -> Array:
+    return sigma ** 2 / (2.0 * theta) * (1.0 - jnp.exp(-2.0 * theta * dt))
+
+
+# --------------------------------------------------------------------------
+# at-observation truths (dense, batched)
+# --------------------------------------------------------------------------
+
+def moments_at_obs(times: Array, values: Array, process_type: str,
+                   num_moments: int = 1, variance_method: str = "direct",
+                   mask: Optional[Array] = None,
+                   switch_times: Optional[Array] = None,
+                   **process_params) -> tuple[Array, Array]:
+    """Analytic conditional moments shaped like model outputs.
+
+    Args:
+      times:  (B, N) observation times.
+      values: (B, N, d_x) observations.
+      switch_times: hybrid per-trajectory switch times (B,) — overrides the
+        scalar ``switch_time`` in process_params when given.
+      process_params: same keys/defaults as the reference's
+        ``get_conditional_moments_at_obs`` (data_generation.py:819-922);
+        extraneous keys are ignored.
+
+    Returns:
+      (moments, moments_before): (B, N, d_x, num_moments) each.
+    """
+    B, N, d = values.shape
+    dtype = values.dtype
+    dt = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), times[:, 1:] - times[:, :-1]], axis=1
+    )[..., None]                       # (B, N, 1), dt[,0] unused
+    prev = jnp.concatenate([values[:, :1], values[:, :-1]], axis=1)  # (B, N, d)
+    first = jnp.zeros((B, N, 1), dtype).at[:, 0].set(1.0) > 0        # (B, N, 1)
+
+    p = process_params
+
+    if process_type == "black_scholes":
+        mean_b = _bs_mean(prev, dt, p.get("mu", 0.0))
+        var_b = _bs_var(prev, dt, p.get("mu", 0.0), p.get("sigma", 0.2))
+        disabled = False
+    elif process_type == "ornstein_uhlenbeck":
+        mean_b = _ou_mean(prev, dt, p.get("theta", 1.0), p.get("mu", 0.0))
+        var_b = jnp.broadcast_to(
+            _ou_var(dt, p.get("theta", 1.0), p.get("sigma", 0.3)), prev.shape)
+        disabled = False
+    elif process_type == "heston":
+        # Heston uses the BS formulas as the paper-appendix approximation,
+        # with xi standing in for sigma in the variance
+        # (reference :619-630, :706-717, :885-887).
+        mean_b = _bs_mean(prev, dt, p.get("mu", 0.0))
+        var_b = _bs_var(prev, dt, p.get("mu", 0.0), p.get("xi", 0.5))
+        disabled = False
+    elif process_type == "hybrid_ou_bs":
+        sw = switch_times if switch_times is not None else p.get("switch_time")
+        if sw is None:
+            # random switch times with no record: truths unavailable —
+            # return zeros, disabling relative loss (reference :854-858).
+            mean_b = jnp.zeros_like(prev)
+            var_b = jnp.zeros_like(prev)
+            disabled = True
+        else:
+            sw_arr = jnp.broadcast_to(jnp.asarray(sw, dtype), (B,))[:, None, None]
+            t = times[..., None]                       # (B, N, 1)
+            t_prev = jnp.concatenate([times[:, :1], times[:, :-1]], axis=1)[..., None]
+            in_ou = t < sw_arr
+            prev_in_ou = t_prev < sw_arr
+            # first obs of a regime subsequence: slot 0, or the regime flipped
+            regime_first = first | (prev_in_ou != in_ou)
+            mean_ou = _ou_mean(prev, dt, p.get("theta_ou", 1.0), p.get("mu_ou", 0.0))
+            mean_bs = _bs_mean(prev, dt, p.get("mu_bs", 0.0))
+            var_ou = jnp.broadcast_to(
+                _ou_var(dt, p.get("theta_ou", 1.0), p.get("sigma_ou", 0.3)), prev.shape)
+            var_bs = _bs_var(prev, dt, p.get("mu_bs", 0.0), p.get("sigma_bs", 0.2))
+            mean_b = jnp.where(in_ou, mean_ou, mean_bs)
+            var_b = jnp.where(in_ou, var_ou, var_bs)
+            # first-in-regime before-value = the observation itself / var 0
+            # (reference :564-573 applied per regime subsequence, :744-761)
+            mean_b = jnp.where(regime_first, values, mean_b)
+            var_b = jnp.where(regime_first, 0.0, var_b)
+            disabled = False
+    else:
+        raise ValueError(f"Unknown process type for conditional moments: {process_type}")
+
+    if disabled:
+        mean_after = jnp.zeros_like(values)
+        mean_before = jnp.zeros_like(values)
+        var_after = jnp.zeros_like(values)
+        var_before = jnp.zeros_like(values)
+    else:
+        mean_after = values
+        mean_before = jnp.where(first, values, mean_b)
+        var_after = jnp.zeros_like(values)
+        var_before = jnp.where(first, 0.0, var_b)
+
+    moments = [mean_after]
+    moments_before = [mean_before]
+    if num_moments > 1:
+        if variance_method == "direct":
+            m1, m1b = var_after, var_before
+        elif variance_method == "second_moment":
+            # E[X^2] = Var + E[X]^2 (reference :910-913)
+            m1 = var_after + mean_after ** 2
+            m1b = var_before + mean_before ** 2
+        else:
+            raise ValueError(f"Unknown variance_method: {variance_method}")
+        moments.append(m1)
+        moments_before.append(m1b)
+    # moments >= 2 are zero-filled, as in the reference (never computed, :917)
+    for _ in range(num_moments - len(moments)):
+        moments.append(jnp.zeros_like(values))
+        moments_before.append(jnp.zeros_like(values))
+
+    out = jnp.stack(moments, axis=-1)
+    out_b = jnp.stack(moments_before, axis=-1)
+    if mask is not None:
+        m = mask[..., None, None]
+        out = jnp.where(m, out, 0.0)
+        out_b = jnp.where(m, out_b, 0.0)
+    return out, out_b
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("process_type", "num_moments",
+                                   "variance_method", "param_items",
+                                   "has_mask", "has_switch"))
+def _moments_jit(times, values, mask, switch_times, *, process_type,
+                 num_moments, variance_method, param_items, has_mask,
+                 has_switch):
+    return moments_at_obs(times, values, process_type, num_moments,
+                          variance_method,
+                          mask if has_mask else None,
+                          switch_times if has_switch else None,
+                          **dict(param_items))
+
+
+def moments_at_obs_jit(times, values, process_type, num_moments=1,
+                       variance_method="direct", mask=None, switch_times=None,
+                       **process_params):
+    """Jitted single-program evaluator (one compile per config)."""
+    # only hashable scalar params participate in the static cache key
+    items = tuple(sorted((k, v) for k, v in process_params.items()
+                         if isinstance(v, (int, float, bool, str, type(None)))))
+    B, N = times.shape
+    dummy = jnp.zeros((), times.dtype)
+    return _moments_jit(
+        times, values,
+        mask if mask is not None else jnp.zeros((B, N), bool),
+        switch_times if switch_times is not None else dummy,
+        process_type=process_type, num_moments=num_moments,
+        variance_method=variance_method, param_items=items,
+        has_mask=mask is not None, has_switch=switch_times is not None)
+
+
+def get_conditional_moments_at_obs(batch_times, batch_values, process_type: str,
+                                   num_moments: int = 1,
+                                   variance_method: str = "direct",
+                                   **process_params):
+    """Reference-API wrapper (data_generation.py:819-922).
+
+    Accepts ragged lists (returns lists of (n_i, d, K)) or dense arrays
+    (returns dense (B, N, d, K) pairs).  Extraneous config keys in
+    ``process_params`` are ignored, like the reference's ``.get`` lookups.
+    """
+    if isinstance(batch_values, (list, tuple)):
+        from ..models.jump_ode import pad_ragged
+        times, values, mask = pad_ragged(batch_times, batch_values)
+        m, mb = moments_at_obs_jit(times, values, process_type, num_moments,
+                                   variance_method, mask, **process_params)
+        lengths = [int(jnp.asarray(t).shape[0]) for t in batch_times]
+        return ([m[b, :n] for b, n in enumerate(lengths)],
+                [mb[b, :n] for b, n in enumerate(lengths)])
+    return moments_at_obs_jit(batch_times, batch_values, process_type,
+                              num_moments, variance_method, **process_params)
+
+
+# --------------------------------------------------------------------------
+# full-grid conditional expectation / variance (for plotting, C13)
+# --------------------------------------------------------------------------
+
+def _last_obs(times_full: Array, obs_times: Array):
+    idx = jnp.clip(jnp.searchsorted(obs_times, times_full, side="right") - 1,
+                   0, obs_times.shape[0] - 1)
+    return obs_times[idx]
+
+
+def condexp_black_scholes_on_grid(times_full: Array, X_full: Array,
+                                  obs_times: Array, mu: float) -> Array:
+    """E[X_t | last obs] on the dense grid (reference :417-438), vectorized."""
+    T_i = _last_obs(times_full, obs_times)
+    X_i = X_full[jnp.searchsorted(times_full, T_i)]
+    return X_i * jnp.exp(mu * (times_full - T_i))
+
+
+def condexp_ou_on_grid(times_full: Array, X_full: Array, obs_times: Array,
+                       theta: float, mu: float) -> Array:
+    T_i = _last_obs(times_full, obs_times)
+    X_i = X_full[jnp.searchsorted(times_full, T_i)]
+    decay = jnp.exp(-theta * (times_full - T_i))
+    return X_i * decay + mu * (1.0 - decay)
+
+
+def condexp_heston_on_grid(times_full: Array, X_full: Array, obs_times: Array,
+                           mu: float) -> Array:
+    return condexp_black_scholes_on_grid(times_full, X_full, obs_times, mu)
+
+
+def condvar_black_scholes_on_grid(times_full: Array, X_full: Array,
+                                  obs_times: Array, mu: float, sigma: float) -> Array:
+    T_i = _last_obs(times_full, obs_times)
+    X_i = X_full[jnp.searchsorted(times_full, T_i)]
+    s = times_full - T_i
+    var = X_i ** 2 * (jnp.exp(sigma ** 2 * s) - 1.0) * jnp.exp(2.0 * mu * s)
+    return jnp.where(jnp.isclose(times_full, T_i, atol=1e-6), 0.0, var)
+
+
+def condvar_ou_on_grid(times_full: Array, X_full: Array, obs_times: Array,
+                       theta: float, sigma: float) -> Array:
+    T_i = _last_obs(times_full, obs_times)
+    s = times_full - T_i
+    var = sigma ** 2 / (2.0 * theta) * (1.0 - jnp.exp(-2.0 * theta * s))
+    return jnp.where(jnp.isclose(times_full, T_i, atol=1e-6), 0.0, var)
+
+
+def condvar_heston_on_grid(times_full: Array, X_full: Array, obs_times: Array,
+                           mu: float, sigma: float) -> Array:
+    return condvar_black_scholes_on_grid(times_full, X_full, obs_times, mu, sigma)
+
+
+def condexp_hybrid_on_grid(times_full: Array, X_full: Array, obs_times: Array,
+                           switch_time: float, theta_ou: float, mu_ou: float,
+                           mu_bs: float) -> Array:
+    """Regime-aware conditional expectation on the grid (reference :296-414).
+
+    Evolves from the last observation; if the interval crosses the switch
+    point, evolves OU to the switch then BS onward.
+    """
+    G = times_full.shape[0]
+    T_i = _last_obs(times_full, obs_times)
+    j = jnp.searchsorted(times_full, T_i)          # grid index of last obs
+    X_i = X_full[j]
+    i = jnp.arange(G)
+    switch_idx = jnp.argmin(jnp.abs(times_full - switch_time))
+    t_switch = times_full[switch_idx]
+
+    crossing = (j < switch_idx) & (switch_idx <= i)
+    # crossing: OU to the switch, then BS onward
+    decay_sw = jnp.exp(-theta_ou * (t_switch - T_i))
+    x_at_switch = X_i * decay_sw + mu_ou * (1.0 - decay_sw)
+    ce_cross = x_at_switch * jnp.exp(mu_bs * (times_full - t_switch))
+    # no crossing: regime of the current time decides
+    s = times_full - T_i
+    decay = jnp.exp(-theta_ou * s)
+    ce_ou = X_i * decay + mu_ou * (1.0 - decay)
+    ce_bs = X_i * jnp.exp(mu_bs * s)
+    ce_plain = jnp.where(times_full < switch_time, ce_ou, ce_bs)
+    return jnp.where(crossing, ce_cross, ce_plain)

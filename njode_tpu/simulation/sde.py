@@ -1,0 +1,342 @@
+"""On-device SDE path simulators and observation subsampling.
+
+TPU-native re-design of the reference generators
+(reference: simulation/data_generation.py:11-291).  The reference simulates
+one trajectory at a time with per-step Python loops and `torch.manual_seed(i)`
+per trajectory; here every generator produces a whole batch ``(B, n_steps+1)``
+in one shot from a single ``jax.random`` key:
+
+* Black-Scholes:  exact log-Euler via one cumsum (reference :30-44).
+* OU:             exact discretization ``X_{k+1} = a X_k + b + c xi_k``
+                  (reference :80-92) — a linear recurrence evaluated with
+                  ``lax.associative_scan`` (parallel prefix over affine maps),
+                  so generation is O(log T) depth instead of O(T).
+* Heston:         Euler with correlated Brownians and variance clamped at
+                  1e-6 pre-sqrt and post-update (reference :190-216); the
+                  V-recurrence is nonlinear so it stays a ``lax.scan`` with
+                  vector (B,) carries.
+* hybrid OU->BS:  branchless per-step blend by ``step < switch_idx``
+                  (reference :96-162), continuous at the switch.
+
+Observation subsampling mirrors ``subsample_random_grid_points``
+(reference :221-252): ``n_obs = max(2, int(obs_fraction * n_grid))`` grid
+indices, endpoints always included, interior points uniform without
+replacement — realised with a batched top-k over uniform scores so every
+trajectory keeps a STATIC number of observations (this is what makes the
+whole training step a fixed-shape program).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------------------
+# batched generators (B paths at once)
+# --------------------------------------------------------------------------
+
+def bs_paths(key: jax.Array, n_paths: int, mu: float = 0.0, sigma: float = 0.2,
+             T: float = 1.0, n_steps: int = 100, x0: float = 1.0,
+             dtype=jnp.float32):
+    """Black-Scholes log-Euler on the fixed grid. Returns (times (n+1,), X (B, n+1))."""
+    dt = T / n_steps
+    times = jnp.linspace(0.0, T, n_steps + 1, dtype=dtype)
+    dW = jax.random.normal(key, (n_paths, n_steps), dtype) * jnp.sqrt(jnp.asarray(dt, dtype))
+    log_inc = (mu - 0.5 * sigma ** 2) * dt + sigma * dW
+    logX = jnp.concatenate(
+        [jnp.zeros((n_paths, 1), dtype), jnp.cumsum(log_inc, axis=1)], axis=1
+    ) + jnp.log(jnp.asarray(x0, dtype))
+    return times, jnp.exp(logX)
+
+
+def ou_paths(key: jax.Array, n_paths: int, theta: float = 1.0, mu: float = 0.0,
+             sigma: float = 0.3, T: float = 1.0, n_steps: int = 100,
+             x0: float = 0.0, dtype=jnp.float32):
+    """OU exact discretization via parallel prefix over affine maps.
+
+    X_{k+1} = a X_k + u_k with a = exp(-theta dt),
+    u_k = mu (1 - a) + c xi_k, c = sigma sqrt((1 - exp(-2 theta dt)) / (2 theta))
+    (theta = 0 falls back to sigma sqrt(dt), reference :84).
+    """
+    dt = T / n_steps
+    times = jnp.linspace(0.0, T, n_steps + 1, dtype=dtype)
+    a = math.exp(-theta * dt)
+    b = mu * (1.0 - a)
+    if theta > 0:
+        c = sigma * math.sqrt((1.0 - math.exp(-2.0 * theta * dt)) / (2.0 * theta))
+    else:
+        c = sigma * math.sqrt(dt)
+    u = b + c * jax.random.normal(key, (n_paths, n_steps), dtype)  # (B, T)
+
+    # affine composition: (a2, u2) o (a1, u1) = (a2*a1, a2*u1 + u2)
+    A = jnp.full((n_paths, n_steps), a, dtype)
+
+    def combine(l, r):
+        al, ul = l
+        ar, ur = r
+        return al * ar, ar * ul + ur
+
+    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    X = jnp.concatenate(
+        [jnp.full((n_paths, 1), x0, dtype), A_c * x0 + U_c], axis=1
+    )
+    return times, X
+
+
+def heston_paths(key: jax.Array, n_paths: int, mu: float = 0.0,
+                 kappa: float = 2.0, theta: float = 0.04, xi: float = 0.5,
+                 rho: float = -0.5, T: float = 1.0, n_steps: int = 100,
+                 x0: float = 1.0, v0: float = 0.04, dtype=jnp.float32):
+    """Heston Euler with correlated Brownians; returns (times, X (B,n+1), V (B,n+1))."""
+    dt = T / n_steps
+    times = jnp.linspace(0.0, T, n_steps + 1, dtype=dtype)
+    k1, k2 = jax.random.split(key)
+    z1 = jax.random.normal(k1, (n_steps, n_paths), dtype)
+    z2 = jax.random.normal(k2, (n_steps, n_paths), dtype)
+    sdt = math.sqrt(dt)
+    dW1 = sdt * z1
+    dW2 = sdt * (rho * z1 + math.sqrt(1.0 - rho ** 2) * z2)
+
+    def step(carry, noise):
+        X, V = carry
+        dw1, dw2 = noise
+        V_c = jnp.maximum(V, 1e-6)
+        sV = jnp.sqrt(V_c)
+        X_n = X + mu * X * dt + sV * X * dw1
+        V_n = jnp.maximum(V + kappa * (theta - V) * dt + xi * sV * dw2, 1e-6)
+        return (X_n, V_n), (X_n, V_n)
+
+    X0 = jnp.full((n_paths,), x0, dtype)
+    V0 = jnp.full((n_paths,), v0, dtype)
+    _, (Xs, Vs) = lax.scan(step, (X0, V0), (dW1, dW2))
+    X = jnp.concatenate([X0[None], Xs], axis=0).T  # (B, n+1)
+    V = jnp.concatenate([V0[None], Vs], axis=0).T
+    return times, X, V
+
+
+def hybrid_ou_bs_paths(key: jax.Array, n_paths: int, theta_ou: float = 1.0,
+                       mu_ou: float = 0.0, sigma_ou: float = 0.3,
+                       mu_bs: float = 0.0, sigma_bs: float = 0.2,
+                       T: float = 1.0, n_steps: int = 100, x0: float = 1.0,
+                       switch_time: Optional[float] = None, dtype=jnp.float32):
+    """Hybrid OU -> BS paths; continuous at the (possibly random) switch.
+
+    Returns (times, X (B, n+1), switch_times (B,)).  ``switch_time=None``
+    draws per-path switch times Uniform(0.2 T, 0.8 T) (reference :131-132).
+    """
+    dt = T / n_steps
+    times = jnp.linspace(0.0, T, n_steps + 1, dtype=dtype)
+    k_sw, k_ou, k_bs = jax.random.split(key, 3)
+    if switch_time is None:
+        sw = jax.random.uniform(k_sw, (n_paths,), dtype, 0.2 * T, 0.8 * T)
+    else:
+        sw = jnp.full((n_paths,), switch_time, dtype)
+    switch_idx = (sw / dt).astype(jnp.int32)  # int() truncation, reference :140
+
+    a = math.exp(-theta_ou * dt)
+    b = mu_ou * (1.0 - a)
+    if theta_ou > 0:
+        c = sigma_ou * math.sqrt((1.0 - math.exp(-2.0 * theta_ou * dt)) / (2.0 * theta_ou))
+    else:
+        c = sigma_ou * math.sqrt(dt)
+    ou_noise = c * jax.random.normal(k_ou, (n_steps, n_paths), dtype)
+    bs_drift = (mu_bs - 0.5 * sigma_bs ** 2) * dt
+    bs_noise = sigma_bs * math.sqrt(dt) * jax.random.normal(k_bs, (n_steps, n_paths), dtype)
+
+    def step(X, inp):
+        i, n_ou, n_bs = inp
+        is_ou = i < switch_idx  # (B,)
+        X_ou = X * a + b + n_ou
+        X_bs = X * jnp.exp(bs_drift + n_bs)
+        X_n = jnp.where(is_ou, X_ou, X_bs)
+        return X_n, X_n
+
+    X0 = jnp.full((n_paths,), x0, dtype)
+    _, Xs = lax.scan(step, X0, (jnp.arange(n_steps), ou_noise, bs_noise))
+    X = jnp.concatenate([X0[None], Xs], axis=0).T
+    return times, X, sw
+
+
+# --------------------------------------------------------------------------
+# single-path reference-API wrappers (generate_* names, reference :11-218)
+# --------------------------------------------------------------------------
+
+def _key_from_seed(seed: Optional[int]) -> jax.Array:
+    return jax.random.PRNGKey(0 if seed is None else seed)
+
+
+def generate_black_scholes(mu: float = 0.0, sigma: float = 0.2, T: float = 1.0,
+                           n_steps: int = 100, x0: float = 1.0,
+                           seed: Optional[int] = None, key: Optional[jax.Array] = None):
+    key = _key_from_seed(seed) if key is None else key
+    times, X = bs_paths(key, 1, mu, sigma, T, n_steps, x0)
+    return times, X[0]
+
+
+def generate_ou(theta: float = 1.0, mu: float = 0.0, sigma: float = 0.3,
+                T: float = 1.0, n_steps: int = 100, x0: float = 0.0,
+                seed: Optional[int] = None, key: Optional[jax.Array] = None):
+    key = _key_from_seed(seed) if key is None else key
+    times, X = ou_paths(key, 1, theta, mu, sigma, T, n_steps, x0)
+    return times, X[0]
+
+
+def generate_heston(mu: float = 0.0, kappa: float = 2.0, theta: float = 0.04,
+                    xi: float = 0.5, rho: float = -0.5, T: float = 1.0,
+                    n_steps: int = 100, x0: float = 1.0, v0: float = 0.04,
+                    seed: Optional[int] = None, key: Optional[jax.Array] = None):
+    key = _key_from_seed(seed) if key is None else key
+    times, X, V = heston_paths(key, 1, mu, kappa, theta, xi, rho, T, n_steps, x0, v0)
+    return times, X[0], V[0]
+
+
+def generate_hybrid_ou_bs(theta_ou: float = 1.0, mu_ou: float = 0.0,
+                          sigma_ou: float = 0.3, mu_bs: float = 0.0,
+                          sigma_bs: float = 0.2, T: float = 1.0,
+                          n_steps: int = 100, x0: float = 1.0,
+                          switch_time: Optional[float] = None,
+                          seed: Optional[int] = None, key: Optional[jax.Array] = None):
+    key = _key_from_seed(seed) if key is None else key
+    times, X, sw = hybrid_ou_bs_paths(key, 1, theta_ou, mu_ou, sigma_ou,
+                                      mu_bs, sigma_bs, T, n_steps, x0, switch_time)
+    return times, X[0], float(sw[0])
+
+
+# --------------------------------------------------------------------------
+# observation subsampling
+# --------------------------------------------------------------------------
+
+def n_obs_for(obs_fraction: float, n_grid: int) -> int:
+    """Static observation count (reference :236)."""
+    return max(2, int(obs_fraction * n_grid))
+
+
+def sample_obs_indices(key: jax.Array, n_paths: int, n_grid: int,
+                       obs_fraction: float = 0.1) -> jnp.ndarray:
+    """(B, n_obs) sorted grid indices; 0 and n_grid-1 always included.
+
+    Interior points are uniform-without-replacement, sampled as the top-k of
+    iid uniform scores (a standard reservoir-free equivalent of
+    ``np.random.choice(replace=False)``, reference :245).
+    """
+    n_obs = n_obs_for(obs_fraction, n_grid)
+    n_interior = min(n_obs - 2, n_grid - 2)
+    if n_interior > 0:
+        scores = jax.random.uniform(key, (n_paths, n_grid - 2))
+        _, top = lax.top_k(scores, n_interior)
+        interior = top + 1  # shift into [1, n_grid-2]
+        idx = jnp.concatenate(
+            [jnp.zeros((n_paths, 1), jnp.int32),
+             interior.astype(jnp.int32),
+             jnp.full((n_paths, 1), n_grid - 1, jnp.int32)], axis=1)
+    else:
+        idx = jnp.tile(jnp.asarray([[0, n_grid - 1]], jnp.int32), (n_paths, 1))
+    return jnp.sort(idx, axis=1)
+
+
+def subsample_random_grid_points(times, values, obs_fraction: float = 0.1,
+                                 seed: Optional[int] = None,
+                                 key: Optional[jax.Array] = None):
+    """Reference-API single-trajectory subsampler (reference :221-252)."""
+    key = _key_from_seed(seed) if key is None else key
+    n_grid = times.shape[0]
+    idx = sample_obs_indices(key, 1, n_grid, obs_fraction)[0]
+    return times[idx], values[idx]
+
+
+# --------------------------------------------------------------------------
+# batched trajectory construction
+# --------------------------------------------------------------------------
+
+@dataclass
+class TrajectoryBatch:
+    """Dense observation batch — the TPU-native data representation.
+
+    times:  (B, N) observation times (sorted, static N for a given config)
+    values: (B, N, d_x) observations
+    mask:   (B, N) bool (all True for same-config batches; kept for generality)
+    grid_times: (G,) the dense simulation grid
+    obs_idx:    (B, N) grid indices of the observations
+    paths:      (B, G) full simulated paths (never leaves HBM)
+    switch_times: (B,) hybrid switch times or None
+    """
+    times: jnp.ndarray
+    values: jnp.ndarray
+    mask: jnp.ndarray
+    grid_times: jnp.ndarray
+    obs_idx: jnp.ndarray
+    paths: jnp.ndarray
+    switch_times: Optional[jnp.ndarray] = None
+
+    @property
+    def n_trajectories(self) -> int:
+        return self.times.shape[0]
+
+
+jax.tree_util.register_pytree_node(
+    TrajectoryBatch,
+    lambda b: ((b.times, b.values, b.mask, b.grid_times, b.obs_idx, b.paths,
+                b.switch_times), None),
+    lambda _, c: TrajectoryBatch(*c),
+)
+
+PROCESS_TYPES = ("black_scholes", "ornstein_uhlenbeck", "heston", "hybrid_ou_bs")
+
+
+def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
+                   obs_fraction: float = 0.1, **process_kwargs) -> TrajectoryBatch:
+    """Simulate B paths on-device and subsample observations. Jit-friendly.
+
+    This is the TPU-native replacement for ``create_trajectory_batch``
+    (reference :255-291): one key, one fused program, no host round-trips,
+    dense static-shape output.  Heston's V and hybrid's switch time are kept
+    in the batch (the reference discards them, :277,:279) but ``values``
+    contains only the observed X, matching the reference.
+    """
+    k_path, k_obs = jax.random.split(key)
+    switch_times = None
+    if process_type == "black_scholes":
+        grid_times, paths = bs_paths(k_path, n_trajectories, **process_kwargs)
+    elif process_type == "ornstein_uhlenbeck":
+        grid_times, paths = ou_paths(k_path, n_trajectories, **process_kwargs)
+    elif process_type == "heston":
+        grid_times, paths, _V = heston_paths(k_path, n_trajectories, **process_kwargs)
+    elif process_type == "hybrid_ou_bs":
+        grid_times, paths, switch_times = hybrid_ou_bs_paths(
+            k_path, n_trajectories, **process_kwargs)
+    else:
+        raise ValueError(
+            f"Unknown process type: {process_type}. Supported: {', '.join(PROCESS_TYPES)}")
+
+    n_grid = grid_times.shape[0]
+    obs_idx = sample_obs_indices(k_obs, n_trajectories, n_grid, obs_fraction)
+    times = grid_times[obs_idx]                                   # (B, N)
+    values = jnp.take_along_axis(paths, obs_idx, axis=1)[..., None]  # (B, N, 1)
+    mask = jnp.ones(times.shape, dtype=bool)
+    return TrajectoryBatch(times, values, mask, grid_times, obs_idx, paths,
+                           switch_times)
+
+
+def create_trajectory_batch(n_trajectories: int, process_type: str = "black_scholes",
+                            obs_fraction: float = 0.1, seed: Optional[int] = None,
+                            **process_kwargs):
+    """Reference-API batch factory returning ragged lists (reference :255-291).
+
+    Returns (batch_times: list of (n_i,), batch_values: list of (n_i, 1)).
+    All rows share n_i by construction, as in the reference.  Deterministic in
+    ``seed`` (default 0), analogous to the reference's seed=i-per-trajectory
+    determinism quirk (reference :273-286) without replicating identical
+    across-epoch batches.
+    """
+    key = _key_from_seed(seed)
+    batch = simulate_batch(key, n_trajectories, process_type, obs_fraction,
+                           **process_kwargs)
+    batch_times = [batch.times[b] for b in range(n_trajectories)]
+    batch_values = [batch.values[b] for b in range(n_trajectories)]
+    return batch_times, batch_values
