@@ -1,0 +1,185 @@
+"""Benchmark: default Black-Scholes recipe throughput + accuracy vs analytic.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Design for the tunneled-TPU environment: every distinct XLA program costs
+seconds to minutes of compile RPC, so the WHOLE benchmark train run — fresh
+on-device path generation, shuffling, minibatched Adam steps, all epochs —
+is a single jitted program (lax.scan over epochs of lax.scan over
+minibatches).  Compile time is measured separately via AOT lower/compile and
+excluded from the throughput measurement (steady-state trajectories/sec/chip,
+the driver's BASELINE.json metric).
+
+Baseline: the PyTorch reference running the identical recipe
+(experiments/experiment_black_scholes.py defaults: n_train=1000,
+batch_size=128, hidden 32, 2 moments, fresh data per epoch) on this host's
+CPU.  Measured with the reference's own epoch timer; override with
+NJODE_BASELINE_TRAJ_PER_SEC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Reference PyTorch-CPU throughput on this machine (trajectories/sec),
+# measured from /root/reference experiment_black_scholes.py epoch times
+# (n_train=1000 incl. per-epoch data generation). See BENCH_NOTES.md.
+DEFAULT_BASELINE_TRAJ_PER_SEC = 45.4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny run for smoke-testing the benchmark itself")
+    ap.add_argument("--n-train", type=int, default=1000)
+    ap.add_argument("--n-val", type=int, default=200)
+    ap.add_argument("--n-epochs", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--hidden-dim", type=int, default=32)
+    args = ap.parse_args()
+    if args.quick:
+        args.n_train, args.n_val, args.n_epochs = 128, 64, 10
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from njode_tpu import NeuralJumpODE
+    from njode_tpu.models import nj_ode_loss_dense
+    from njode_tpu.simulation import simulate_batch
+    from njode_tpu.simulation.moments import moments_at_obs
+    from njode_tpu.utils import make_adam
+
+    platform = jax.devices()[0].platform
+    log(f"bench: platform={platform} devices={len(jax.devices())}")
+
+    # ---- the default Black-Scholes recipe (reference CLI defaults) ----
+    P = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=100, x0=1.0)
+    WEIGHTS = [1.0, 10.0]
+    model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
+                          output_dim=1, num_moments=2, n_hidden_layers=1,
+                          activation="relu", variance_method="direct",
+                          t_max=P["T"])
+    tx = make_adam(1e-3, 5e-4)
+
+    n, bs, E = args.n_train, args.batch_size, args.n_epochs
+    nb = -(-n // bs)
+    n_pad = nb * bs
+
+    def epoch_body(carry, e):
+        params, opt_state, key = carry
+        k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
+        batch = simulate_batch(k_data, n, "black_scholes", 0.1, **P)
+        times, values, mask = batch.times, batch.values, batch.mask
+        perm = jax.random.permutation(k_perm, n)
+        idx = jnp.concatenate(
+            [perm, jnp.zeros((n_pad - n,), perm.dtype)]).reshape(nb, bs)
+        valid = (jnp.arange(n_pad) < n).reshape(nb, bs)
+
+        def mb_step(c, x):
+            p, s = c
+            ids, vm = x
+
+            def loss_fn(pp):
+                preds, preds_before = model.apply(pp, times[ids], values[ids],
+                                                  mask[ids])
+                return nj_ode_loss_dense(values[ids], preds, preds_before,
+                                         mask[ids],
+                                         ignore_first_continuity=True,
+                                         moment_weights=WEIGHTS,
+                                         traj_mask=vm)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = lax.scan(mb_step, (params, opt_state),
+                                               (idx, valid))
+        return (params, opt_state, key), jnp.mean(losses)
+
+    def train_all(params, opt_state, key):
+        (params, opt_state, _), losses = lax.scan(
+            epoch_body, (params, opt_state, key), jnp.arange(E))
+        return params, opt_state, losses
+
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(42)
+
+    # ---- compile (excluded from throughput) ----
+    t0 = time.perf_counter()
+    compiled = jax.jit(train_all, donate_argnums=(0, 1)).lower(
+        params, opt_state, key).compile()
+    compile_s = time.perf_counter() - t0
+    log(f"bench: compile {compile_s:.1f}s")
+
+    # ---- timed run: full recipe, fresh data every epoch, on device ----
+    t0 = time.perf_counter()
+    params, opt_state, losses = compiled(params, opt_state, key)
+    jax.block_until_ready(losses)
+    train_s = time.perf_counter() - t0
+    traj_per_sec = n * E / train_s
+    log(f"bench: {E} epochs x {n} traj in {train_s:.3f}s "
+        f"({traj_per_sec:,.0f} traj/s), final loss "
+        f"{float(losses[-1]):.4f}")
+
+    # ---- accuracy: val MSE vs closed-form conditional moments ----
+    @jax.jit
+    def val_metrics(params, key):
+        vb = simulate_batch(key, args.n_val, "black_scholes", 0.1, **P)
+        preds, preds_before = model.apply(params, vb.times, vb.values, vb.mask)
+        yt, ytb = moments_at_obs(vb.times, vb.values, "black_scholes",
+                                 num_moments=2, variance_method="direct",
+                                 **P)
+        # conditional-mean MSE on the predictive (before-jump) side,
+        # excluding slot 0 where the truth is defined as the observation
+        mse_mean = jnp.mean((preds_before[:, 1:, :, 0] - ytb[:, 1:, :, 0]) ** 2)
+        var_pred = preds_before[:, 1:, :, 1] ** 2  # direct: V = W^2
+        mse_var = jnp.mean((var_pred - ytb[:, 1:, :, 1]) ** 2)
+        L_model = nj_ode_loss_dense(vb.values, preds, preds_before, vb.mask,
+                                    moment_weights=WEIGHTS)
+        L_true = nj_ode_loss_dense(vb.values, yt, ytb, vb.mask,
+                                   moment_weights=WEIGHTS)
+        return mse_mean, mse_var, (L_model - L_true) / jnp.maximum(L_true, 1e-8)
+
+    mse_mean, mse_var, rel = val_metrics(params, jax.random.PRNGKey(7))
+    mse_mean, mse_var, rel = float(mse_mean), float(mse_var), float(rel)
+    log(f"bench: val MSE mean={mse_mean:.2e} var={mse_var:.2e} "
+        f"relative_loss={rel:.4f}")
+
+    baseline = float(os.environ.get("NJODE_BASELINE_TRAJ_PER_SEC",
+                                    DEFAULT_BASELINE_TRAJ_PER_SEC))
+    print(json.dumps({
+        "metric": "bs_train_throughput",
+        "value": round(traj_per_sec, 1),
+        "unit": "trajectories/sec/chip",
+        "vs_baseline": round(traj_per_sec / baseline, 2),
+        "walltime_s": round(train_s, 3),
+        "compile_s": round(compile_s, 1),
+        "n_train": n, "n_epochs": E,
+        "val_mse_mean": mse_mean,
+        "val_mse_var": mse_var,
+        "relative_loss": rel,
+        "final_train_loss": float(losses[-1]),
+        "platform": platform,
+        "baseline_traj_per_sec": baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

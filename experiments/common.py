@@ -1,0 +1,205 @@
+"""Shared experiment-CLI plumbing.
+
+The four reference CLIs are ~190-line near-copies of each other
+(reference: experiments/experiment_*.py); the flag surface is preserved
+flag-for-flag here once, and each experiment module only declares its
+process-specific flags and defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+# allow `python experiments/experiment_*.py` from a source checkout
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def add_common_args(parser: argparse.ArgumentParser,
+                    activation_default: str = "relu") -> None:
+    """Architecture/training/moment/data flags shared by every experiment
+    (reference experiments/experiment_black_scholes.py:23-64)."""
+    # Model architecture
+    parser.add_argument('--hidden-dim', type=int, default=32,
+                        help='Hidden dimension size')
+    parser.add_argument('--n-hidden-layers', type=int, default=1,
+                        help='Number of hidden layers')
+    parser.add_argument('--activation', type=str, default=activation_default,
+                        choices=['relu', 'tanh', 'sigmoid', 'elu',
+                                 'leaky_relu', 'selu'],
+                        help='Activation function')
+    parser.add_argument('--dropout-rate', type=float, default=0.0,
+                        help='Dropout rate for regularization')
+    parser.add_argument('--input-scaling', type=str, default='identity',
+                        choices=['identity', 'tanh', 'sigmoid'],
+                        help='Input scaling function for ODE network')
+    parser.add_argument('--variance-method', type=str, default='direct',
+                        choices=['direct', 'second_moment'],
+                        help='Variance prediction method: direct (predict W, '
+                             'variance=W^2) or second_moment (predict E[X^2], '
+                             'variance=E[X^2]-E[X]^2)')
+    parser.add_argument('--dt-ode-step', type=float, default=None,
+                        help='Fixed time step for ODE integration (if None, '
+                             'single step between observations)')
+
+    # Training parameters
+    parser.add_argument('--learning-rate', type=float, default=1e-3,
+                        help='Learning rate')
+    parser.add_argument('--weight-decay', type=float, default=5e-4,
+                        help='Weight decay')
+    parser.add_argument('--n-epochs', type=int, default=200,
+                        help='Number of epochs')
+    parser.add_argument('--batch-size', type=int, default=128,
+                        help='Batch size')
+    parser.add_argument('--no-shuffle', action='store_true',
+                        help='Disable shuffling of trajectories between '
+                             'mini-batches (default: shuffle enabled)')
+    parser.add_argument('--print-every', type=int, default=5,
+                        help='Print frequency')
+    parser.add_argument('--device', type=str, default='auto',
+                        help='Device (auto/cpu/tpu)')
+
+    # Moment learning
+    parser.add_argument('--num-moments', type=int, default=2,
+                        help='Number of moments to learn')
+    parser.add_argument('--moment-weights', type=float, nargs='+',
+                        default=[1.0, 10.0],
+                        help='Weights for each moment loss')
+    parser.add_argument('--shared-network', action='store_true',
+                        help='Use single shared network for all moments '
+                             '(default: separate networks)')
+
+    # Data parameters
+    parser.add_argument('--cache-data', action='store_true',
+                        help='Cache training data (reuse same paths each '
+                             'epoch). Default: False (generate fresh paths)')
+    parser.add_argument('--n-train', type=int, default=1000,
+                        help='Number of training trajectories')
+    parser.add_argument('--n-val', type=int, default=200,
+                        help='Number of validation trajectories')
+    parser.add_argument('--obs-fraction', type=float, default=0.1,
+                        help='Fraction of points observed')
+    parser.add_argument('--T', type=float, default=1.0, help='Time horizon')
+    parser.add_argument('--n-steps', type=int, default=100,
+                        help='Number of time steps')
+
+    # TPU-native extras (no reference analogue)
+    parser.add_argument('--data-parallel', type=int, default=0,
+                        help='Shard trajectories over N devices (0 = single '
+                             'device)')
+    parser.add_argument('--seed', type=int, default=0,
+                        help='Model-init / shuffle seed')
+    parser.add_argument('--data-seed', type=int, default=0,
+                        help='Data-generation seed')
+    parser.add_argument('--profile-dir', type=str, default=None,
+                        help='Write a jax.profiler trace of the run here')
+    parser.add_argument('--no-plots', action='store_true',
+                        help='Skip plot generation after training')
+
+
+def build_config(args, experiment_name: str, process_type: str,
+                 data_params: dict) -> dict:
+    """Assemble the nested config dict (reference experiment_*.py:79-113)."""
+    return {
+        "experiment_name": experiment_name,
+        "input_dim": 1,
+        "hidden_dim": args.hidden_dim,
+        "output_dim": 1,
+        "n_hidden_layers": args.n_hidden_layers,
+        "activation": args.activation,
+        "dropout_rate": args.dropout_rate,
+        "input_scaling": args.input_scaling,
+        "variance_method": args.variance_method,
+        "dt_ode_step": args.dt_ode_step,
+        "learning_rate": args.learning_rate,
+        "weight_decay": args.weight_decay,
+        "n_epochs": args.n_epochs,
+        "batch_size": args.batch_size,
+        "shuffle": not args.no_shuffle,
+        "print_every": args.print_every,
+        "device": args.device,
+        "ignore_first_continuity": True,
+        "num_moments": args.num_moments,
+        "moment_weights": args.moment_weights,
+        "shared_network": args.shared_network,
+        "data_parallel": args.data_parallel,
+        "seed": args.seed,
+        "data_seed": args.data_seed,
+        "data": {
+            "process_type": process_type,
+            "n_train": args.n_train,
+            "n_val": args.n_val,
+            "obs_fraction": args.obs_fraction,
+            "cache_data": args.cache_data,
+            "T": args.T,
+            "n_steps": args.n_steps,
+            **data_params,
+        },
+    }
+
+
+def run_and_plot(config: dict, process_type: str, process_params: dict,
+                 make_plots: bool = True, save_dir: str = "runs",
+                 profile_dir: str = None):
+    """run_experiment + the three standard plots
+    (reference experiment_*.py main bodies)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/njode_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from njode_tpu.utils import run_experiment
+    from njode_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(profile_dir):
+        results = run_experiment(config, save_dir=save_dir)
+
+    save_path = Path(results["save_path"])
+    if make_plots:
+        from njode_tpu.models import NeuralJumpODE
+        from njode_tpu.utils.checkpoint import load_params
+        from njode_tpu.utils.plotting import (
+            plot_relative_loss_single, plot_single_trajectory_with_condexp,
+            plot_training_history)
+
+        print("\nGenerating training history plot...")
+        plot_training_history(str(save_path / "history.json"),
+                              str(save_path / "training_history.png"))
+
+        print("Generating relative loss plot...")
+        try:
+            plot_relative_loss_single(str(save_path / "history.json"),
+                                      str(save_path / "relative_loss.png"))
+        except Exception as e:
+            print(f"Could not plot relative loss: {e}")
+
+        print("Generating trajectory comparison plot...")
+        model = NeuralJumpODE(
+            input_dim=config["input_dim"],
+            hidden_dim=config["hidden_dim"],
+            output_dim=config["output_dim"],
+            dt_ode_step=config.get("dt_ode_step"),
+            num_moments=config.get("num_moments", 1),
+            n_hidden_layers=config.get("n_hidden_layers", 1),
+            activation=config.get("activation", "relu"),
+            shared_network=config.get("shared_network", False),
+            dropout_rate=config.get("dropout_rate", 0.0),
+            input_scaling=config.get("input_scaling", "identity"),
+            variance_method=config.get("variance_method", "direct"),
+            t_max=config["data"].get("T", 1.0),
+        )
+        params = load_params(str(save_path / "model.ckpt"),
+                             model.init(jax.random.PRNGKey(0)))
+        plot_single_trajectory_with_condexp(
+            model=model, params=params, process_type=process_type,
+            process_params=process_params,
+            obs_fraction=config["data"]["obs_fraction"],
+            seed=42,
+            save_path=str(save_path / "trajectory_comparison.png"))
+
+    print("\nExperiment completed successfully!")
+    print(f"Results saved in: {save_path}")
+    print(f"Final training loss: {results['final_train_loss']:.6f}")
+    if results["final_val_loss"]:
+        print(f"Final validation loss: {results['final_val_loss']:.6f}")
+    return results

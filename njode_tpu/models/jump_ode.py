@@ -81,7 +81,7 @@ class NeuralJumpODE:
                  dropout_rate: float = 0.0, input_scaling: str = "identity",
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
-                 dtype=jnp.float32):
+                 use_pallas="auto", dtype=jnp.float32):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -112,6 +112,23 @@ class NeuralJumpODE:
         # number of latent states carried (shared mode carries one state for
         # all moments, reference models/jump_ode.py:100-108)
         self.k_hidden = 1 if shared_network else num_moments
+
+        # Pallas fused Euler cell: 'auto' enables it on TPU backends for the
+        # eligible configs; 'interpret' runs the kernel in interpreter mode
+        # (for CPU tests); False disables.
+        from ..ops import fused_cell_available
+        self.use_pallas = use_pallas
+        self._fused_eligible = fused_cell_available(
+            n_hidden_layers, activation.lower(), dropout_rate)
+
+    def _use_fused(self) -> bool:
+        if self.use_pallas is False or not self._fused_eligible:
+            return False
+        if self.use_pallas == "interpret":
+            return True
+        import jax as _jax
+        on_tpu = _jax.default_backend() in ("tpu",)
+        return on_tpu if self.use_pallas == "auto" else bool(self.use_pallas)
 
     # ------------------------------------------------------------------ init
 
@@ -216,6 +233,12 @@ class NeuralJumpODE:
                t_cur: jnp.ndarray, t_new: jnp.ndarray,
                rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """One Euler step h += (t_new - t_cur) * f(...) (reference :122-140)."""
+        if rng is None and self._use_fused():
+            from ..ops import ode_euler_fused
+            return ode_euler_fused(
+                h, self._scale(x_last), self._scale(h), t_cur, t_new,
+                params["ode"]["layers"], self.activation.lower(),
+                interpret=(self.use_pallas == "interpret"))
         dh = self._ode(params, h, x_last, t_cur, t_new, rng)
         return h + (t_new - t_cur)[None, :, None] * dh
 

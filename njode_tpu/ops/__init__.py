@@ -1,0 +1,14 @@
+"""Pallas TPU kernels + XLA fallbacks (no reference analogue: the reference
+has zero native/compiled components — SURVEY.md §2 language census; the
+native-performance surface of the TPU rebuild is Pallas/XLA)."""
+
+from .fused_cell import (
+    HAS_PALLAS,
+    SUPPORTED_ACTS,
+    fused_cell_available,
+    fused_euler_cell,
+    ode_euler_fused,
+)
+
+__all__ = ["HAS_PALLAS", "SUPPORTED_ACTS", "fused_cell_available",
+           "fused_euler_cell", "ode_euler_fused"]

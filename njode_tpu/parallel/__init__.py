@@ -1,0 +1,6 @@
+"""Parallelism layer: device meshes, DP/EP shardings (no reference analogue —
+the reference is single-process PyTorch; see SURVEY.md §2b rows P1-P3)."""
+
+from .mesh import batch_spec, make_batch_sharder, make_mesh, shard_params
+
+__all__ = ["batch_spec", "make_batch_sharder", "make_mesh", "shard_params"]

@@ -1,0 +1,195 @@
+"""Plotting utilities (reference: utils/plotting.py).
+
+Figure-1 style trajectory plots use the ONE canonical grid rollout
+``NeuralJumpODE.predict_on_grid`` — resolving the reference's semantic drift
+between ``model.forward`` and the plotting re-implementation
+(SURVEY.md §3.4; reference utils/plotting.py:146-256).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import matplotlib
+
+matplotlib.use("Agg")  # headless-safe
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def plot_training_history(history_path: str, save_path: Optional[str] = None):
+    """Two-panel loss/time history (reference utils/plotting.py:12-40)."""
+    with open(history_path, "r") as f:
+        history = json.load(f)
+
+    plt.figure(figsize=(10, 6))
+    plt.subplot(1, 2, 1)
+    plt.plot(history["train_loss"], label="Training Loss", alpha=0.7)
+    if history["val_loss"]:
+        plt.plot(history["val_loss"], label="Validation Loss", alpha=0.7)
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.title("Training History")
+    plt.legend()
+    plt.yscale("log")
+    plt.grid(True, alpha=0.3)
+
+    plt.subplot(1, 2, 2)
+    plt.plot(history["epoch_times"], alpha=0.7)
+    plt.xlabel("Epoch")
+    plt.ylabel("Time (seconds)")
+    plt.title("Training Time per Epoch")
+    plt.grid(True, alpha=0.3)
+
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def plot_single_trajectory_with_condexp(model, params, process_type: str,
+                                        process_params: dict,
+                                        obs_fraction: float = 0.1,
+                                        seed: int = 123,
+                                        save_path: Optional[str] = None):
+    """Figure-1 style plot (reference utils/plotting.py:43-309).
+
+    Simulates one path, subsamples observations, overlays: true path, model
+    mean (±2σ bands when variance is learned), analytic conditional
+    expectation (±2σ), and the observations.
+    """
+    from ..simulation.sde import (
+        generate_black_scholes, generate_heston, generate_hybrid_ou_bs,
+        generate_ou, sample_obs_indices)
+    from ..simulation.moments import (
+        condexp_black_scholes_on_grid, condexp_heston_on_grid,
+        condexp_hybrid_on_grid, condexp_ou_on_grid,
+        condvar_black_scholes_on_grid, condvar_heston_on_grid,
+        condvar_ou_on_grid)
+
+    if process_type == "black_scholes":
+        times_full, X_full = generate_black_scholes(seed=seed, **process_params)
+    elif process_type == "ornstein_uhlenbeck":
+        times_full, X_full = generate_ou(seed=seed, **process_params)
+    elif process_type == "heston":
+        times_full, X_full, _ = generate_heston(seed=seed, **process_params)
+    elif process_type == "hybrid_ou_bs":
+        times_full, X_full, switch_actual = generate_hybrid_ou_bs(
+            seed=seed, **process_params)
+    else:
+        raise ValueError(f"Unknown process type: {process_type}")
+
+    G = times_full.shape[0]
+    obs_idx = sample_obs_indices(jax.random.PRNGKey(seed), 1, G, obs_fraction)[0]
+    obs_times = times_full[obs_idx]
+    obs_values = X_full[obs_idx]
+
+    # analytic conditional expectation / variance on the dense grid
+    if process_type == "black_scholes":
+        ce = condexp_black_scholes_on_grid(times_full, X_full, obs_times,
+                                           process_params.get("mu", 0.0))
+    elif process_type == "ornstein_uhlenbeck":
+        ce = condexp_ou_on_grid(times_full, X_full, obs_times,
+                                process_params.get("theta", 1.0),
+                                process_params.get("mu", 0.0))
+    elif process_type == "heston":
+        ce = condexp_heston_on_grid(times_full, X_full, obs_times,
+                                    process_params.get("mu", 0.0))
+    else:
+        ce = condexp_hybrid_on_grid(times_full, X_full, obs_times,
+                                    switch_time=float(switch_actual),
+                                    theta_ou=process_params.get("theta_ou", 1.0),
+                                    mu_ou=process_params.get("mu_ou", 0.0),
+                                    mu_bs=process_params.get("mu_bs", 0.0))
+
+    cv = None
+    if model.num_moments > 1:
+        if process_type == "black_scholes":
+            cv = condvar_black_scholes_on_grid(
+                times_full, X_full, obs_times,
+                process_params.get("mu", 0.0), process_params.get("sigma", 0.2))
+        elif process_type == "ornstein_uhlenbeck":
+            cv = condvar_ou_on_grid(
+                times_full, X_full, obs_times,
+                process_params.get("theta", 1.0), process_params.get("sigma", 0.2))
+        elif process_type == "heston":
+            cv = condvar_heston_on_grid(
+                times_full, X_full, obs_times,
+                process_params.get("mu", 0.0), process_params.get("sigma", 0.2))
+
+    # model rollout on the dense grid — one canonical path for all inference
+    obs_mask = jnp.zeros((1, G), bool).at[0, obs_idx].set(True)
+    out = model.predict_on_grid(params, times_full, obs_mask,
+                                X_full[None, :, None])
+    model_mean = np.asarray(out["mean"][0, :, 0])
+    model_var = None if out["var"] is None else np.asarray(out["var"][0, :, 0])
+
+    # ---- draw ----
+    t = np.asarray(times_full)
+    plt.figure(figsize=(12, 8))
+    plt.plot(t, np.asarray(X_full), "b-", label="True Path", linewidth=1.5)
+    plt.plot(t, model_mean, "r-", label="Model Mean", linewidth=1.5)
+    plt.plot(t, np.asarray(ce), "g:", label="True Conditional Expectation",
+             linewidth=2)
+    plt.scatter(np.asarray(obs_times), np.asarray(obs_values), c="black",
+                s=30, label="Observations", zorder=5)
+
+    if model_var is not None:
+        std = np.sqrt(np.maximum(model_var, 0))
+        plt.fill_between(t, model_mean - 2 * std, model_mean + 2 * std,
+                         color="red", alpha=0.2, label="Model ±2σ")
+        if cv is not None:
+            tstd = np.sqrt(np.maximum(np.asarray(cv), 0))
+            ce_np = np.asarray(ce)
+            plt.fill_between(t, ce_np - 2 * tstd, ce_np + 2 * tstd,
+                             color="green", alpha=0.15, label="True ±2σ")
+
+    plt.xlabel("Time")
+    plt.ylabel("Value")
+    title = (f"{process_type.replace('_', ' ').title()} Process - "
+             f"Model vs True Conditional Expectation")
+    if model_var is not None:
+        title += " (with Variance)"
+    plt.title(title)
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+    if save_path:
+        plt.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def plot_relative_loss(history_paths: List[str], labels: List[str],
+                       save_path: Optional[str] = None):
+    """Figure-2 style relative-loss overlay (reference utils/plotting.py:312-349)."""
+    plt.figure(figsize=(10, 6))
+    for history_path, label in zip(history_paths, labels):
+        try:
+            with open(history_path, "r") as f:
+                history = json.load(f)
+            if "relative_loss" in history:
+                epochs = range(len(history["relative_loss"]))
+                plt.plot(epochs, history["relative_loss"], label=label,
+                         linewidth=2)
+            else:
+                print(f"Warning: 'relative_loss' not found in {history_path}")
+        except FileNotFoundError:
+            print(f"Warning: History file {history_path} not found")
+        except json.JSONDecodeError:
+            print(f"Warning: Could not parse JSON from {history_path}")
+
+    plt.xlabel("Epoch")
+    plt.ylabel("Relative Loss (L_model - L_true) / L_true")
+    plt.title("Relative Loss: Model vs True Conditional Expectation")
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+    if save_path:
+        plt.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def plot_relative_loss_single(history_path: str, save_path: Optional[str] = None):
+    plot_relative_loss([history_path], ["Relative Loss"], save_path)

@@ -1,0 +1,541 @@
+"""Training orchestration: Trainer, data loaders, run_experiment.
+
+TPU-native re-design of the reference orchestration layer
+(reference: utils/training.py).  Differences that matter:
+
+* A whole epoch — shuffle, minibatch sweep, gradient steps — is ONE jitted
+  program (``lax.scan`` over minibatches), instead of a Python loop issuing
+  per-tensor H2D copies and per-minibatch graph rebuilds
+  (reference :78-101).  The last partial minibatch is padded and masked so
+  shapes stay static; per-minibatch loss is the mean over its *real*
+  trajectories and the epoch loss the mean over minibatches, matching the
+  reference's ``total_loss / n_batches`` reduction exactly.
+* Data generation happens on device inside jit (``DataLoader`` wraps
+  ``simulate_batch``); fresh-per-epoch mode folds the epoch index into the
+  PRNG key, which FIXES the reference's seed=i quirk where ``cache_data=False``
+  regenerated identical batches every epoch (reference
+  simulation/data_generation.py:273-286, SURVEY.md §7 defect list).
+* The optimizer is the exact optax equivalent of
+  ``torch.optim.Adam(lr, weight_decay)``: L2 decay added to the *gradient
+  before* the Adam moments (``add_decayed_weights`` upstream of
+  ``scale_by_adam``) — NOT decoupled AdamW (reference :396).
+* Relative-loss evaluation (the paper's headline metric,
+  reference :219-255) runs fully on device: analytic conditional moments are
+  closed-form vectorized expressions, no host round-trip.
+* Checkpoint/auto-resume keeps the reference's artifact layout and
+  semantics: restore histories, ``start_epoch = len(train_losses)``,
+  early-return when already complete, degrade to fresh training on any load
+  error (reference :146-174).
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from ..models import NeuralJumpODE, nj_ode_loss_dense, pad_ragged
+from ..simulation import TrajectoryBatch, simulate_batch
+from ..simulation.moments import moments_at_obs_jit
+from .checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
+
+RELATIVE_LOSS_PROCESSES = ("black_scholes", "ornstein_uhlenbeck", "heston",
+                           "hybrid_ou_bs")
+
+
+def make_adam(learning_rate: float, weight_decay: float = 0.0
+              ) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-into-grad, then Adam)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam())  # b1=0.9, b2=0.999, eps=1e-8, like torch
+    parts.append(optax.scale(-learning_rate))
+    return optax.chain(*parts)
+
+
+# --------------------------------------------------------------------------
+# data loaders
+# --------------------------------------------------------------------------
+
+class DataLoader:
+    """On-device trajectory generator with optional caching.
+
+    Callable like the reference's data closures (utils/training.py:329-344)
+    but returns a dense :class:`TrajectoryBatch` and accepts an epoch index
+    for genuinely-fresh paths per epoch.
+    """
+
+    def __init__(self, key: jax.Array, n_trajectories: int, process_type: str,
+                 obs_fraction: float, cache: bool, process_kwargs: dict):
+        self.key = key
+        self.n_trajectories = n_trajectories
+        self.process_type = process_type
+        self.obs_fraction = obs_fraction
+        self.cache = cache
+        self.process_kwargs = dict(process_kwargs)
+        self._gen = jax.jit(lambda k: simulate_batch(
+            k, n_trajectories, process_type, obs_fraction, **self.process_kwargs))
+        self._cached: Optional[TrajectoryBatch] = None
+
+    def __call__(self, epoch: int = 0) -> TrajectoryBatch:
+        if self.cache:
+            if self._cached is None:
+                self._cached = self._gen(self.key)
+            return self._cached
+        return self._gen(jax.random.fold_in(self.key, epoch))
+
+
+def create_data_loaders(process_type: str = "black_scholes",
+                        n_train: int = 100, n_val: int = 20,
+                        obs_fraction: float = 0.1,
+                        cache_data: bool = True,
+                        base_seed: int = 0,
+                        **process_kwargs):
+    """Training/validation generators (reference utils/training.py:311-346).
+
+    The validation loader is always cached (the reference regenerates the
+    identical batch each epoch when cache_data=False — pure waste)."""
+    key = jax.random.PRNGKey(base_seed)
+    k_train, k_val = jax.random.split(key)
+    train_fn = DataLoader(k_train, n_train, process_type, obs_fraction,
+                          cache_data, process_kwargs)
+    val_fn = DataLoader(k_val, n_val, process_type, obs_fraction,
+                        True, process_kwargs)
+    return train_fn, val_fn
+
+
+def _call_data_fn(fn: Callable, epoch: int):
+    if isinstance(fn, DataLoader):
+        return fn(epoch)
+    try:
+        sig = inspect.signature(fn)
+        if len(sig.parameters) >= 1:
+            return fn(epoch)
+    except (TypeError, ValueError):
+        pass
+    return fn()
+
+
+def as_dense(data) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            Optional[TrajectoryBatch]]:
+    """Normalize TrajectoryBatch / (ragged lists) / dense tuple to arrays."""
+    if isinstance(data, TrajectoryBatch):
+        return data.times, data.values, data.mask, data
+    if isinstance(data, tuple) and len(data) == 2:
+        bt, bv = data
+        if isinstance(bt, (list, tuple)):
+            t, v, m = pad_ragged(bt, bv)
+            return t, v, m, None
+        t, v = bt, bv
+        return t, v, jnp.ones(t.shape, bool), None
+    raise TypeError(f"Unsupported data batch type: {type(data)}")
+
+
+# --------------------------------------------------------------------------
+# Trainer
+# --------------------------------------------------------------------------
+
+class Trainer:
+    """Holds model/optimizer state and drives jitted training.
+
+    Mirrors the reference Trainer surface (utils/training.py:15-308):
+    ``train_epoch`` / ``validate`` / ``train`` / ``save_model`` / ``load_model``
+    plus histories, checkpointing and relative-loss evaluation.
+    """
+
+    def __init__(self, model: NeuralJumpODE,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 device: str = "auto",  # accepted for API parity; JAX places on mesh/backend
+                 ignore_first_continuity: bool = False,
+                 moment_weights: Optional[List[float]] = None,
+                 variance_method: str = "direct",
+                 mesh=None, seed: int = 0):
+        self.model = model
+        self.optimizer = optimizer if optimizer is not None else make_adam(1e-3)
+        self.device = device
+        self.ignore_first_continuity = ignore_first_continuity
+        self.moment_weights = list(moment_weights) if moment_weights else None
+        self.variance_method = variance_method
+        self.mesh = mesh
+        self._rng = jax.random.PRNGKey(seed)
+
+        self.params = model.init(jax.random.fold_in(self._rng, 0))
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.train_losses: List[float] = []
+        self.val_losses: List[float] = []
+        self.epoch_times: List[float] = []
+        self.relative_losses: List[float] = []
+
+        self._epoch_fns: Dict[Any, Callable] = {}
+        self._eval_fn = None
+        self._shard = None
+        if mesh is not None:
+            from ..parallel import make_batch_sharder
+            self._shard = make_batch_sharder(mesh)
+
+    # ------------------------------------------------------------- loss fn
+
+    def _loss(self, params, times, values, mask, traj_mask=None, rng=None,
+              training=False):
+        preds, preds_before = self.model.apply(params, times, values, mask,
+                                               rng=rng, training=training)
+        return nj_ode_loss_dense(values, preds, preds_before, mask,
+                                 ignore_first_continuity=self.ignore_first_continuity,
+                                 moment_weights=self.moment_weights,
+                                 variance_method=self.variance_method,
+                                 traj_mask=traj_mask)
+
+    # ----------------------------------------------------------- train step
+
+    def _build_epoch_fn(self, n: int, batch_size: Optional[int], shuffle: bool):
+        """One whole epoch as a single jitted program."""
+        full_batch = batch_size is None or batch_size >= n
+        tx = self.optimizer
+
+        def epoch_fn(params, opt_state, times, values, mask, key):
+            k_perm, k_drop = jax.random.split(key)
+            if full_batch:
+                def loss_fn(p):
+                    return self._loss(p, times, values, mask,
+                                      rng=k_drop, training=True)
+                loss, g = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = tx.update(g, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return params2, opt_state2, loss
+
+            bs = batch_size
+            nb = -(-n // bs)
+            n_pad = nb * bs
+            perm = (jax.random.permutation(k_perm, n) if shuffle
+                    else jnp.arange(n))
+            idx = jnp.concatenate(
+                [perm, jnp.zeros((n_pad - n,), perm.dtype)]).reshape(nb, bs)
+            valid = (jnp.arange(n_pad) < n).reshape(nb, bs)
+
+            def mb_step(carry, x):
+                p, s = carry
+                ids, vm, j = x
+
+                def loss_fn(pp):
+                    return self._loss(pp, times[ids], values[ids], mask[ids],
+                                      traj_mask=vm,
+                                      rng=jax.random.fold_in(k_drop, j),
+                                      training=True)
+
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                updates, s2 = tx.update(g, s, p)
+                p2 = optax.apply_updates(p, updates)
+                return (p2, s2), loss
+
+            (params2, opt_state2), losses = lax.scan(
+                mb_step, (params, opt_state), (idx, valid, jnp.arange(nb)))
+            return params2, opt_state2, jnp.mean(losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _get_epoch_fn(self, n, batch_size, shuffle):
+        key = (n, batch_size, shuffle)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = self._build_epoch_fn(n, batch_size, shuffle)
+        return self._epoch_fns[key]
+
+    def train_epoch(self, batch_times, batch_values,
+                    batch_size: Optional[int] = None, shuffle: bool = True,
+                    mask=None) -> float:
+        """Train one epoch (reference utils/training.py:33-103)."""
+        if isinstance(batch_times, (list, tuple)):
+            times, values, mask_, _ = as_dense((batch_times, batch_values))
+        else:
+            times, values = batch_times, batch_values
+            mask_ = mask if mask is not None else jnp.ones(times.shape, bool)
+        if self._shard is not None:
+            times, values, mask_ = self._shard(times, values, mask_)
+        self._rng, k = jax.random.split(self._rng)
+        fn = self._get_epoch_fn(times.shape[0], batch_size, shuffle)
+        self.params, self.opt_state, loss = fn(
+            self.params, self.opt_state, times, values, mask_, k)
+        return float(loss)
+
+    # ------------------------------------------------------------ validate
+
+    def validate(self, batch_times, batch_values, mask=None) -> float:
+        """Full-batch eval loss (reference utils/training.py:105-124)."""
+        if isinstance(batch_times, (list, tuple)):
+            times, values, mask_, _ = as_dense((batch_times, batch_values))
+        else:
+            times, values = batch_times, batch_values
+            mask_ = mask if mask is not None else jnp.ones(times.shape, bool)
+        if self._eval_fn is None:
+            self._eval_fn = jax.jit(
+                lambda p, t, v, m: self._loss(p, t, v, m))
+        if self._shard is not None:
+            times, values, mask_ = self._shard(times, values, mask_)
+        return float(self._eval_fn(self.params, times, values, mask_))
+
+    # ----------------------------------------------------- relative loss
+
+    def _setup_relative_loss(self, train_data_fn, config):
+        """Fixed 10-trajectory eval batch + precomputed analytic truths
+        (reference utils/training.py:184-196,219-255)."""
+        data_cfg = config["data"]
+        process_type = data_cfg["process_type"]
+        if process_type not in RELATIVE_LOSS_PROCESSES:
+            return None
+        batch = _call_data_fn(train_data_fn, 0)
+        times, values, mask, tb = as_dense(batch)
+        times, values, mask = times[:10], values[:10], mask[:10]
+        process_params = {k: v for k, v in data_cfg.items()
+                          if k != "process_type"}
+        switch_times = None
+        if (process_type == "hybrid_ou_bs"
+                and data_cfg.get("switch_time") is None
+                and tb is not None and tb.switch_times is not None
+                and config.get("exact_hybrid_truths", False)):
+            # improvement over the reference (which returns zero truths for
+            # random switch times): use the recorded per-path switch times.
+            switch_times = tb.switch_times[:10]
+        y_true, y_true_before = moments_at_obs_jit(
+            times, values, process_type,
+            num_moments=self.model.num_moments,
+            variance_method=self.variance_method,
+            mask=mask, switch_times=switch_times, **process_params)
+        rel_fn = jax.jit(lambda p, t, v, m, yt, ytb: (
+            self._loss_no_first(p, t, v, m),
+            nj_ode_loss_dense(v, yt, ytb, m,
+                              moment_weights=self.moment_weights,
+                              variance_method=self.variance_method)))
+        return dict(times=times, values=values, mask=mask,
+                    y_true=y_true, y_true_before=y_true_before, fn=rel_fn)
+
+    def _loss_no_first(self, params, times, values, mask):
+        # relative-loss eval uses default ignore_first_continuity=False,
+        # matching the reference's eval-time nj_ode_loss calls (:225-227,:250)
+        preds, preds_before = self.model.apply(params, times, values, mask)
+        return nj_ode_loss_dense(values, preds, preds_before, mask,
+                                 moment_weights=self.moment_weights,
+                                 variance_method=self.variance_method)
+
+    def compute_relative_loss(self, rel) -> float:
+        L_model, L_true = rel["fn"](self.params, rel["times"], rel["values"],
+                                    rel["mask"], rel["y_true"],
+                                    rel["y_true_before"])
+        L_model, L_true = float(L_model), float(L_true)
+        return (L_model - L_true) / max(L_true, 1e-8)
+
+    # ---------------------------------------------------------------- train
+
+    def train(self, train_data_fn: Callable, val_data_fn: Optional[Callable] = None,
+              n_epochs: int = 100, batch_size: Optional[int] = None,
+              shuffle: bool = True, print_every: int = 10,
+              save_path: Optional[str] = None,
+              resume_from_checkpoint: bool = True,
+              config: Optional[Dict] = None) -> Dict:
+        """Training driver (reference utils/training.py:126-287)."""
+        start_epoch = 0
+        if resume_from_checkpoint and checkpoint_exists(save_path):
+            print(f"Found existing checkpoint at {save_path}")
+            try:
+                self.params, self.opt_state, hist = load_checkpoint(
+                    save_path, self.params, self.opt_state)
+                self.train_losses = hist["train_losses"]
+                self.val_losses = hist["val_losses"]
+                self.epoch_times = hist["epoch_times"]
+                self.relative_losses = hist["relative_loss"]
+                start_epoch = len(self.train_losses)
+                print(f"Resuming from epoch {start_epoch} "
+                      f"(previous best loss: {min(self.train_losses):.6f})")
+                if start_epoch >= n_epochs:
+                    print(f"Training already completed ({start_epoch} >= "
+                          f"{n_epochs} epochs)")
+                    return {
+                        "train_loss": self.train_losses,
+                        "val_loss": self.val_losses,
+                        "epoch_times": self.epoch_times,
+                        "relative_loss": self.relative_losses,
+                        "resumed_from_checkpoint": True,
+                    }
+            except Exception as e:  # degrade to fresh training, like the reference
+                print(f"Warning: Could not load checkpoint ({e}). "
+                      f"Starting fresh training.")
+                start_epoch = 0
+
+        history = {
+            "train_loss": self.train_losses.copy(),
+            "val_loss": self.val_losses.copy(),
+            "epoch_times": self.epoch_times.copy(),
+            "relative_loss": self.relative_losses.copy(),
+        }
+
+        rel = None
+        if config and "data" in config and "process_type" in config["data"]:
+            try:
+                rel = self._setup_relative_loss(train_data_fn, config)
+            except Exception as e:
+                print(f"Warning: relative-loss setup failed: {e}")
+                rel = None
+
+        val_batch = None
+        for epoch in range(start_epoch, n_epochs):
+            t0 = time.time()
+
+            batch = _call_data_fn(train_data_fn, epoch)
+            times, values, mask, _ = as_dense(batch)
+            train_loss = self.train_epoch(times, values, batch_size=batch_size,
+                                          shuffle=shuffle, mask=mask)
+            self.train_losses.append(train_loss)
+            history["train_loss"].append(train_loss)
+
+            val_loss = None
+            if val_data_fn is not None:
+                if val_batch is None or not isinstance(val_data_fn, DataLoader) \
+                        or not val_data_fn.cache:
+                    val_batch = as_dense(_call_data_fn(val_data_fn, epoch))
+                vt, vv, vm, _ = val_batch
+                val_loss = self.validate(vt, vv, mask=vm)
+                self.val_losses.append(val_loss)
+                history["val_loss"].append(val_loss)
+
+            if rel is not None and epoch % print_every == 0:
+                try:
+                    r = self.compute_relative_loss(rel)
+                except Exception as e:
+                    print(f"Warning: Could not compute relative loss at epoch "
+                          f"{epoch}: {e}")
+                    r = float("nan")
+                history["relative_loss"].append(r)
+                self.relative_losses.append(r)
+
+            epoch_time = time.time() - t0
+            history["epoch_times"].append(epoch_time)
+            self.epoch_times.append(epoch_time)
+
+            if epoch % print_every == 0 or epoch == start_epoch:
+                msg = f"Epoch {epoch:4d} | Train Loss: {train_loss:.6f}"
+                if val_loss is not None:
+                    msg += f" | Val Loss: {val_loss:.6f}"
+                if history["relative_loss"]:
+                    msg += f" | Rel Loss: {history['relative_loss'][-1]:.4f}"
+                msg += f" | Time: {epoch_time:.2f}s"
+                if start_epoch > 0 and epoch == start_epoch:
+                    msg += " (resumed)"
+                print(msg, flush=True)
+                if save_path is not None:
+                    self.save_model(save_path)
+
+        if save_path is not None:
+            self.save_model(save_path)
+        return history
+
+    # ------------------------------------------------------------- persist
+
+    def _histories(self):
+        return {
+            "train_losses": self.train_losses,
+            "val_losses": self.val_losses,
+            "epoch_times": self.epoch_times,
+            "relative_loss": self.relative_losses,
+        }
+
+    def save_model(self, path: str):
+        save_checkpoint(path, self.params, self.opt_state, self._histories())
+
+    def load_model(self, path: str):
+        self.params, self.opt_state, hist = load_checkpoint(
+            path, self.params, self.opt_state)
+        self.train_losses = hist["train_losses"]
+        self.val_losses = hist["val_losses"]
+        self.epoch_times = hist["epoch_times"]
+        self.relative_losses = hist["relative_loss"]
+
+
+# --------------------------------------------------------------------------
+# run_experiment
+# --------------------------------------------------------------------------
+
+def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
+    """Complete training experiment (reference utils/training.py:349-438).
+
+    Artifact layout preserved: ``runs/<experiment_name>/{config.json,
+    model.ckpt, history.json}``.
+    """
+    save_path = Path(save_dir) / config["experiment_name"]
+    save_path.mkdir(parents=True, exist_ok=True)
+    with open(save_path / "config.json", "w") as f:
+        json.dump(config, f, indent=2)
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    print(f"Backend: {platform} | devices: {len(devices)}")
+
+    mesh = None
+    n_dp = config.get("data_parallel", 0)
+    if n_dp and n_dp > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(data=n_dp)
+
+    model = NeuralJumpODE(
+        input_dim=config["input_dim"],
+        hidden_dim=config["hidden_dim"],
+        output_dim=config["output_dim"],
+        dt_between_obs=config.get("dt_between_obs"),
+        dt_ode_step=config.get("dt_ode_step"),
+        num_moments=config.get("num_moments", 1),
+        n_hidden_layers=config.get("n_hidden_layers", 1),
+        activation=config.get("activation", "relu"),
+        shared_network=config.get("shared_network", False),
+        dropout_rate=config.get("dropout_rate", 0.0),
+        input_scaling=config.get("input_scaling", "identity"),
+        # the reference omits this forward (utils/training.py:381-393, a
+        # known trap per SURVEY.md §7); we pass it through.
+        variance_method=config.get("variance_method", "direct"),
+        t_max=config.get("data", {}).get("T", 1.0),
+    )
+
+    optimizer = make_adam(config["learning_rate"], config["weight_decay"])
+    trainer = Trainer(model, optimizer,
+                      device=config.get("device", "auto"),
+                      ignore_first_continuity=config.get("ignore_first_continuity", False),
+                      moment_weights=config.get("moment_weights"),
+                      variance_method=config.get("variance_method", "direct"),
+                      mesh=mesh,
+                      seed=config.get("seed", 0))
+
+    train_data_fn, val_data_fn = create_data_loaders(
+        base_seed=config.get("data_seed", 0), **config["data"])
+
+    print(f"Starting experiment: {config['experiment_name']}")
+    print(f"Model parameters: {trainer.model.n_params(trainer.params):,}")
+
+    history = trainer.train(
+        train_data_fn=train_data_fn,
+        val_data_fn=val_data_fn,
+        n_epochs=config["n_epochs"],
+        batch_size=config.get("batch_size"),
+        shuffle=config.get("shuffle", True),
+        print_every=config.get("print_every", 10),
+        save_path=str(save_path / "model.ckpt"),
+        resume_from_checkpoint=config.get("resume_from_checkpoint", True),
+        config=config,
+    )
+
+    with open(save_path / "history.json", "w") as f:
+        json.dump(history, f, indent=2)
+    print(f"Experiment completed. Results saved to {save_path}")
+
+    return {
+        "config": config,
+        "history": history,
+        "save_path": str(save_path),
+        "final_train_loss": history["train_loss"][-1],
+        "final_val_loss": history["val_loss"][-1] if history["val_loss"] else None,
+    }

@@ -7,13 +7,19 @@ backend" for exercising sharding/pjit paths without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment presets JAX_PLATFORMS=axon (tunneled
+# TPU), which is single-device and has multi-second compile RPCs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The ambient sitecustomize force-registers the axon TPU backend and sets
+# jax_platforms="axon,cpu" AFTER env vars are read — override it back.
+jax.config.update("jax_platforms", "cpu")
 
 # reproducible matmuls for numeric parity tests; cache compiles across runs
 jax.config.update("jax_default_matmul_precision", "highest")
