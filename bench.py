@@ -129,9 +129,13 @@ def main():
     log(f"bench: compile {compile_s:.1f}s")
 
     # ---- timed run: full recipe, fresh data every epoch, on device ----
+    # NOTE: materialize losses to host inside the timed region — on the
+    # tunneled axon backend block_until_ready returns before the remote
+    # execute completes, so a device->host copy is the reliable fence.
+    import numpy as np
     t0 = time.perf_counter()
     params, opt_state, losses = compiled(params, opt_state, key)
-    jax.block_until_ready(losses)
+    losses = np.asarray(losses)
     train_s = time.perf_counter() - t0
     traj_per_sec = n * E / train_s
     log(f"bench: {E} epochs x {n} traj in {train_s:.3f}s "

@@ -147,6 +147,16 @@ def run_and_plot(config: dict, process_type: str, process_params: dict,
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/njode_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    # honor --device even though the ambient sitecustomize may have
+    # force-registered a TPU platform
+    device = config.get("device", "auto")
+    if device != "auto":
+        try:
+            from jax.extend.backend import clear_backends
+            clear_backends()
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", device)
 
     from njode_tpu.utils import run_experiment
     from njode_tpu.utils.profiling import maybe_trace

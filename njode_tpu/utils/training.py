@@ -93,6 +93,12 @@ class DataLoader:
             return self._cached
         return self._gen(jax.random.fold_in(self.key, epoch))
 
+    def traced_gen(self, epoch) -> TrajectoryBatch:
+        """Generate inside an enclosing jit (epoch may be a tracer)."""
+        return simulate_batch(jax.random.fold_in(self.key, epoch),
+                              self.n_trajectories, self.process_type,
+                              self.obs_fraction, **self.process_kwargs)
+
 
 def create_data_loaders(process_type: str = "black_scholes",
                         n_train: int = 100, n_val: int = 20,
@@ -197,51 +203,107 @@ class Trainer:
 
     # ----------------------------------------------------------- train step
 
+    def _epoch_update(self, params, opt_state, times, values, mask, key,
+                      n: int, batch_size: Optional[int], shuffle: bool):
+        """Traced one-epoch update (shuffle + padded minibatch scan)."""
+        tx = self.optimizer
+        full_batch = batch_size is None or batch_size >= n
+        k_perm, k_drop = jax.random.split(key)
+        if full_batch:
+            def loss_fn(p):
+                return self._loss(p, times, values, mask,
+                                  rng=k_drop, training=True)
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(g, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, loss
+
+        bs = batch_size
+        nb = -(-n // bs)
+        n_pad = nb * bs
+        perm = (jax.random.permutation(k_perm, n) if shuffle
+                else jnp.arange(n))
+        idx = jnp.concatenate(
+            [perm, jnp.zeros((n_pad - n,), perm.dtype)]).reshape(nb, bs)
+        valid = (jnp.arange(n_pad) < n).reshape(nb, bs)
+
+        def mb_step(carry, x):
+            p, s = carry
+            ids, vm, j = x
+
+            def loss_fn(pp):
+                return self._loss(pp, times[ids], values[ids], mask[ids],
+                                  traj_mask=vm,
+                                  rng=jax.random.fold_in(k_drop, j),
+                                  training=True)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s2 = tx.update(g, s, p)
+            p2 = optax.apply_updates(p, updates)
+            return (p2, s2), loss
+
+        (params2, opt_state2), losses = lax.scan(
+            mb_step, (params, opt_state), (idx, valid, jnp.arange(nb)))
+        return params2, opt_state2, jnp.mean(losses)
+
     def _build_epoch_fn(self, n: int, batch_size: Optional[int], shuffle: bool):
         """One whole epoch as a single jitted program."""
-        full_batch = batch_size is None or batch_size >= n
-        tx = self.optimizer
-
         def epoch_fn(params, opt_state, times, values, mask, key):
-            k_perm, k_drop = jax.random.split(key)
-            if full_batch:
-                def loss_fn(p):
-                    return self._loss(p, times, values, mask,
-                                      rng=k_drop, training=True)
-                loss, g = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state2 = tx.update(g, opt_state, params)
-                params2 = optax.apply_updates(params, updates)
-                return params2, opt_state2, loss
-
-            bs = batch_size
-            nb = -(-n // bs)
-            n_pad = nb * bs
-            perm = (jax.random.permutation(k_perm, n) if shuffle
-                    else jnp.arange(n))
-            idx = jnp.concatenate(
-                [perm, jnp.zeros((n_pad - n,), perm.dtype)]).reshape(nb, bs)
-            valid = (jnp.arange(n_pad) < n).reshape(nb, bs)
-
-            def mb_step(carry, x):
-                p, s = carry
-                ids, vm, j = x
-
-                def loss_fn(pp):
-                    return self._loss(pp, times[ids], values[ids], mask[ids],
-                                      traj_mask=vm,
-                                      rng=jax.random.fold_in(k_drop, j),
-                                      training=True)
-
-                loss, g = jax.value_and_grad(loss_fn)(p)
-                updates, s2 = tx.update(g, s, p)
-                p2 = optax.apply_updates(p, updates)
-                return (p2, s2), loss
-
-            (params2, opt_state2), losses = lax.scan(
-                mb_step, (params, opt_state), (idx, valid, jnp.arange(nb)))
-            return params2, opt_state2, jnp.mean(losses)
-
+            return self._epoch_update(params, opt_state, times, values, mask,
+                                      key, n, batch_size, shuffle)
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _build_chunk_fn(self, loader: "DataLoader", val_arrays,
+                        rel, batch_size: Optional[int], shuffle: bool,
+                        L: int, print_every: int):
+        """L epochs fused into one jitted program.
+
+        Per epoch: (optionally fresh) on-device data generation, the epoch
+        update, a full-batch validation loss, and — at epochs where
+        ``epoch % print_every == 0``, matching the reference cadence
+        (utils/training.py:219) — the relative-loss pair.  One device
+        dispatch per L epochs instead of 3-4 (matters on high-latency
+        backends: each dispatch costs ~0.1s over the tunnel).
+        """
+        n = loader.n_trajectories
+        cached = loader(0) if loader.cache else None
+
+        def chunk_fn(params, opt_state, key, epoch0, val_t, val_v, val_m):
+            def body(carry, e):
+                p, s = carry
+                epoch = epoch0 + e
+                if cached is not None:
+                    times, values, mask = (cached.times, cached.values,
+                                           cached.mask)
+                else:
+                    b = loader.traced_gen(epoch)
+                    times, values, mask = b.times, b.values, b.mask
+                k = jax.random.fold_in(key, epoch)
+                p, s, tr_loss = self._epoch_update(
+                    p, s, times, values, mask, k, n, batch_size, shuffle)
+                val_loss = (self._loss(p, val_t, val_v, val_m)
+                            if val_t is not None else jnp.nan)
+                if rel is not None:
+                    def rel_val(_):
+                        Lm = self._loss_no_first(p, rel["times"],
+                                                 rel["values"], rel["mask"])
+                        Lt = nj_ode_loss_dense(
+                            rel["values"], rel["y_true"],
+                            rel["y_true_before"], rel["mask"],
+                            moment_weights=self.moment_weights,
+                            variance_method=self.variance_method)
+                        return (Lm - Lt) / jnp.maximum(Lt, 1e-8)
+                    r = lax.cond(epoch % print_every == 0, rel_val,
+                                 lambda _: jnp.nan, operand=None)
+                else:
+                    r = jnp.nan
+                return (p, s), (tr_loss, val_loss, r)
+
+            (params, opt_state), (tr, vl, rl) = lax.scan(
+                body, (params, opt_state), jnp.arange(L))
+            return params, opt_state, tr, vl, rl
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1))
 
     def _get_epoch_fn(self, n, batch_size, shuffle):
         key = (n, batch_size, shuffle)
@@ -339,7 +401,8 @@ class Trainer:
               shuffle: bool = True, print_every: int = 10,
               save_path: Optional[str] = None,
               resume_from_checkpoint: bool = True,
-              config: Optional[Dict] = None) -> Dict:
+              config: Optional[Dict] = None,
+              chunk_epochs="auto") -> Dict:
         """Training driver (reference utils/training.py:126-287)."""
         start_epoch = 0
         if resume_from_checkpoint and checkpoint_exists(save_path):
@@ -383,6 +446,19 @@ class Trainer:
             except Exception as e:
                 print(f"Warning: relative-loss setup failed: {e}")
                 rel = None
+
+        # Fused multi-epoch path: when data comes from on-device loaders,
+        # run whole print intervals as single jitted programs.
+        use_chunks = (chunk_epochs not in (0, False, None)
+                      and isinstance(train_data_fn, DataLoader)
+                      and (val_data_fn is None
+                           or isinstance(val_data_fn, DataLoader))
+                      and self._shard is None)
+        if use_chunks:
+            return self._train_chunked(
+                train_data_fn, val_data_fn, start_epoch, n_epochs,
+                batch_size, shuffle, print_every, save_path, rel, history,
+                print_every if chunk_epochs == "auto" else int(chunk_epochs))
 
         val_batch = None
         for epoch in range(start_epoch, n_epochs):
@@ -431,6 +507,73 @@ class Trainer:
                 print(msg, flush=True)
                 if save_path is not None:
                     self.save_model(save_path)
+
+        if save_path is not None:
+            self.save_model(save_path)
+        return history
+
+    def _train_chunked(self, loader, val_loader, start_epoch, n_epochs,
+                       batch_size, shuffle, print_every, save_path, rel,
+                       history, chunk_len):
+        """Drive training in fused chunks (see _build_chunk_fn)."""
+        if val_loader is not None:
+            vb = val_loader(0)
+            val_t, val_v, val_m = vb.times, vb.values, vb.mask
+        else:
+            val_t = val_v = val_m = None
+
+        fns: Dict[int, Callable] = {}
+
+        def get_fn(L):
+            if L not in fns:
+                fns[L] = self._build_chunk_fn(loader, None, rel, batch_size,
+                                              shuffle, L, print_every)
+            return fns[L]
+
+        self._rng, key = jax.random.split(self._rng)
+        epoch = start_epoch
+        while epoch < n_epochs:
+            # align chunk ends to print boundaries so prints/saves keep the
+            # reference cadence even after an unaligned resume
+            to_boundary = print_every - (epoch % print_every)
+            L = min(chunk_len, to_boundary, n_epochs - epoch)
+            t0 = time.time()
+            self.params, self.opt_state, tr, vl, rl = get_fn(L)(
+                self.params, self.opt_state, key, epoch, val_t, val_v, val_m)
+            tr = np.asarray(tr)
+            vl = np.asarray(vl)
+            rl = np.asarray(rl)
+            chunk_time = time.time() - t0
+            per_epoch = chunk_time / L
+
+            for i in range(L):
+                self.train_losses.append(float(tr[i]))
+                history["train_loss"].append(float(tr[i]))
+                if val_loader is not None:
+                    self.val_losses.append(float(vl[i]))
+                    history["val_loss"].append(float(vl[i]))
+                if rel is not None and (epoch + i) % print_every == 0:
+                    self.relative_losses.append(float(rl[i]))
+                    history["relative_loss"].append(float(rl[i]))
+                history["epoch_times"].append(per_epoch)
+                self.epoch_times.append(per_epoch)
+
+            for i in range(L):
+                e = epoch + i
+                if e % print_every == 0 or e == start_epoch:
+                    msg = f"Epoch {e:4d} | Train Loss: {float(tr[i]):.6f}"
+                    if val_loader is not None:
+                        msg += f" | Val Loss: {float(vl[i]):.6f}"
+                    if history["relative_loss"]:
+                        msg += (f" | Rel Loss: "
+                                f"{history['relative_loss'][-1]:.4f}")
+                    msg += f" | Time: {per_epoch:.2f}s"
+                    if start_epoch > 0 and e == start_epoch:
+                        msg += " (resumed)"
+                    print(msg, flush=True)
+            if save_path is not None:
+                self.save_model(save_path)
+            epoch += L
 
         if save_path is not None:
             self.save_model(save_path)
