@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--n-epochs", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--hidden-dim", type=int, default=32)
+    ap.add_argument("--pallas", action="store_true",
+                    help="enable the fused Pallas cell (default: pure-XLA "
+                         "path, which measures faster at these shapes)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="deprecated (pure-XLA is the default)")
     args = ap.parse_args()
     if args.quick:
         args.n_train, args.n_val, args.n_epochs = 128, 64, 10
@@ -74,7 +79,8 @@ def main():
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,
                           activation="relu", variance_method="direct",
-                          t_max=P["T"])
+                          t_max=P["T"],
+                          use_pallas="auto" if args.pallas else False)
     tx = make_adam(1e-3, 5e-4)
 
     n, bs, E = args.n_train, args.batch_size, args.n_epochs

@@ -81,7 +81,7 @@ class NeuralJumpODE:
                  dropout_rate: float = 0.0, input_scaling: str = "identity",
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
-                 use_pallas="auto", dtype=jnp.float32):
+                 use_pallas=False, dtype=jnp.float32):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -116,6 +116,10 @@ class NeuralJumpODE:
         # Pallas fused Euler cell: 'auto' enables it on TPU backends for the
         # eligible configs; 'interpret' runs the kernel in interpreter mode
         # (for CPU tests); False disables.
+        # Default False: measured on v5e (BENCH_NOTES.md), XLA's own fusion
+        # of the scan-free forward beats the per-pallas_call overhead at the
+        # shipped model sizes (d_h <= 256) by a wide margin; the kernel
+        # remains available for experimentation and larger hidden widths.
         from ..ops import fused_cell_available
         self.use_pallas = use_pallas
         self._fused_eligible = fused_cell_available(
@@ -283,6 +287,22 @@ class NeuralJumpODE:
               training: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Batched forward over padded observation slots.
 
+        TPU-first formulation: the NJ-ODE jump RESETS the latent state to
+        ``jump_nn(x_i)`` at every observation (reference models/jump_ode.py:
+        169,176), so there is NO recurrence across observations — each
+        inter-observation gap integrates independently from its own jump
+        state.  The whole forward is therefore a handful of LARGE batched
+        matmuls over the folded (B·N) axis (MXU-shaped), with zero sequential
+        scan steps on the hot path:
+
+          h_jump[:, i]  = jump(x_i)                 for all slots at once
+          y_after[:, i] = out(h_jump[:, i])
+          h_minus[:, i] = integrate(h_jump[:, i-1], x_{i-1}, t_{i-1} -> t_i)
+          y_before[:,i] = out(h_minus[:, i]),  y_before[:, 0] = 0.
+
+        Semantics (verified against the reference to ~1e-4): identical —
+        the reference's sequential loop computes exactly these quantities.
+
         Args:
           times:  (B, N) observation times, sorted per row, padded at the END.
           values: (B, N, d_x) observations.
@@ -297,53 +317,39 @@ class NeuralJumpODE:
         times = times.astype(self.dtype)
         values = values.astype(self.dtype)
         B, N = times.shape
-        if mask is None:
-            mask = jnp.ones((B, N), dtype=bool)
+        d_x = values.shape[-1]
         use_rng = training and self.dropout_rate > 0.0 and rng is not None
-        base_rng = rng if use_rng else None
+        if use_rng:
+            r_jump, r_out_a, r_gap, r_out_b = jax.random.split(rng, 4)
+        else:
+            r_jump = r_out_a = r_gap = r_out_b = None
 
-        h0 = jnp.zeros((self.k_hidden, B, self.hidden_dim), self.dtype)
-        x0 = jnp.zeros((B, self.input_dim), self.dtype)
-        t0 = jnp.zeros((B,), self.dtype)
+        # ---- jump + after-jump readout at ALL slots: fold (B, N) ----
+        x_flat = values.reshape(B * N, d_x)
+        h_jump = self._jump(params, x_flat, r_jump)       # (K_h, B*N, d_h)
+        y_after = self._readout(params, h_jump, r_out_a)  # (B*N, d_y, K)
+        preds = y_after.reshape(B, N, self.output_dim, self.num_moments)
 
-        xs = (
-            jnp.arange(N),
-            jnp.swapaxes(times, 0, 1),           # (N, B)
-            jnp.swapaxes(values, 0, 1),          # (N, B, d_x)
-            jnp.swapaxes(mask, 0, 1),            # (N, B)
-        )
+        if N == 1:
+            return preds, jnp.zeros_like(preds)
 
-        def step(carry, x):
-            h, x_last, t_last = carry
-            i, t_i, x_i, m_i = x
-            if base_rng is not None:
-                r = jax.random.fold_in(base_rng, i)
-                r_gap, r_out_b, r_jump, r_out_a = jax.random.split(r, 4)
-            else:
-                r_gap = r_out_b = r_jump = r_out_a = None
-
-            # before-jump: lazily integrate the gap [t_last, t_i] and read out.
-            h_minus = self._integrate_gap(params, h, x_last, t_last, t_i, r_gap)
-            y_before = self._readout(params, h_minus, r_out_b)
-            # prediction before the very first observation is zero
-            # (reference models/jump_ode.py:161)
-            y_before = jnp.where(i > 0, y_before, jnp.zeros_like(y_before))
-
-            # jump + after-jump readout (reference :167-182)
-            h_jump = self._jump(params, x_i, r_jump)
-            y_after = self._readout(params, h_jump, r_out_a)
-
-            # carry update only at valid observation slots
-            m_h = m_i[None, :, None]
-            m_v = m_i[:, None]
-            h_new = jnp.where(m_h, h_jump, h)
-            x_new = jnp.where(m_v, x_i, x_last)
-            t_new = jnp.where(m_i, t_i, t_last)
-            return (h_new, x_new, t_new), (y_after, y_before)
-
-        _, (ys, ys_before) = lax.scan(step, (h0, x0, t0), xs)
-        preds = jnp.moveaxis(ys, 0, 1)            # (B, N, d_y, K)
-        preds_before = jnp.moveaxis(ys_before, 0, 1)
+        # ---- gaps: slot i-1 -> slot i, folded over (B, N-1) ----
+        S = N - 1
+        h0 = (h_jump.reshape(self.k_hidden, B, N, self.hidden_dim)
+              [:, :, :-1].reshape(self.k_hidden, B * S, self.hidden_dim))
+        x_last = values[:, :-1].reshape(B * S, d_x)
+        t_last = times[:, :-1].reshape(B * S)
+        t_tgt = times[:, 1:].reshape(B * S)
+        h_minus = self._integrate_gap(params, h0, x_last, t_last, t_tgt,
+                                      r_gap)               # (K_h, B*S, d_h)
+        y_before_tail = self._readout(params, h_minus, r_out_b)
+        y_before_tail = y_before_tail.reshape(B, S, self.output_dim,
+                                              self.num_moments)
+        # prediction before the very first observation is zero
+        # (reference models/jump_ode.py:161)
+        preds_before = jnp.concatenate(
+            [jnp.zeros((B, 1, self.output_dim, self.num_moments),
+                       preds.dtype), y_before_tail], axis=1)
         return preds, preds_before
 
     # ----------------------------------------------- reference ragged API
