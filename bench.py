@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--n-epochs", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--hidden-dim", type=int, default=32)
+    ap.add_argument("--obs-fraction", type=float, default=0.1)
+    ap.add_argument("--scaled", action="store_true",
+                    help="scaled sweep config: 100k trajectories, "
+                         "obs_fraction=0.02, hidden_dim=256")
     ap.add_argument("--pallas", action="store_true",
                     help="enable the fused Pallas cell (default: pure-XLA "
                          "path, which measures faster at these shapes)")
@@ -53,6 +57,10 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.n_train, args.n_val, args.n_epochs = 128, 64, 10
+    if args.scaled:
+        args.n_train, args.n_val = 100_000, 5000
+        args.hidden_dim, args.obs_fraction = 256, 0.02
+        args.batch_size, args.n_epochs = 4096, 50
 
     import jax
     import jax.numpy as jnp
@@ -90,7 +98,7 @@ def main():
     def epoch_body(carry, e):
         params, opt_state, key = carry
         k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
-        batch = simulate_batch(k_data, n, "black_scholes", 0.1, **P)
+        batch = simulate_batch(k_data, n, "black_scholes", args.obs_fraction, **P)
         times, values, mask = batch.times, batch.values, batch.mask
         perm = jax.random.permutation(k_perm, n)
         idx = jnp.concatenate(
@@ -151,7 +159,7 @@ def main():
     # ---- accuracy: val MSE vs closed-form conditional moments ----
     @jax.jit
     def val_metrics(params, key):
-        vb = simulate_batch(key, args.n_val, "black_scholes", 0.1, **P)
+        vb = simulate_batch(key, args.n_val, "black_scholes", args.obs_fraction, **P)
         preds, preds_before = model.apply(params, vb.times, vb.values, vb.mask)
         yt, ytb = moments_at_obs(vb.times, vb.values, "black_scholes",
                                  num_moments=2, variance_method="direct",
