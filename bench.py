@@ -78,8 +78,10 @@ def main():
     from njode_tpu.simulation.moments import moments_at_obs
     from njode_tpu.utils import make_adam
 
-    platform = jax.devices()[0].platform
-    log(f"bench: platform={platform} devices={len(jax.devices())}")
+    from njode_tpu.utils.backend import ensure_backend
+    devices = ensure_backend()
+    platform = devices[0].platform
+    log(f"bench: platform={platform} devices={len(devices)}")
 
     # ---- the default Black-Scholes recipe (reference CLI defaults) ----
     P = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=100, x0=1.0)

@@ -26,7 +26,7 @@ the pure-XLA path otherwise (njode_tpu/models/jump_ode.py selects).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+
 
 import jax
 import jax.numpy as jnp

@@ -253,7 +253,7 @@ class Trainer:
                                       key, n, batch_size, shuffle)
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
-    def _build_chunk_fn(self, loader: "DataLoader", val_arrays,
+    def _build_chunk_fn(self, loader: "DataLoader",
                         rel, batch_size: Optional[int], shuffle: bool,
                         L: int, print_every: int):
         """L epochs fused into one jitted program.
@@ -526,7 +526,7 @@ class Trainer:
 
         def get_fn(L):
             if L not in fns:
-                fns[L] = self._build_chunk_fn(loader, None, rel, batch_size,
+                fns[L] = self._build_chunk_fn(loader, rel, batch_size,
                                               shuffle, L, print_every)
             return fns[L]
 
@@ -616,7 +616,8 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     with open(save_path / "config.json", "w") as f:
         json.dump(config, f, indent=2)
 
-    devices = jax.devices()
+    from .backend import ensure_backend
+    devices = ensure_backend()
     platform = devices[0].platform
     print(f"Backend: {platform} | devices: {len(devices)}")
 
