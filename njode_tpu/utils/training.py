@@ -268,6 +268,17 @@ class Trainer:
         n = loader.n_trajectories
         cached = loader(0) if loader.cache else None
 
+        def constrain(x):
+            """Pin the generated batch's trajectory axis to the 'data' mesh
+            axis so the whole chunk runs data-parallel (XLA partitions the
+            epoch update and inserts the gradient psum)."""
+            if self.mesh is None or x.shape[0] % self.mesh.shape["data"] != 0:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
         def chunk_fn(params, opt_state, key, epoch0, val_t, val_v, val_m):
             def body(carry, e):
                 p, s = carry
@@ -278,6 +289,8 @@ class Trainer:
                 else:
                     b = loader.traced_gen(epoch)
                     times, values, mask = b.times, b.values, b.mask
+                times, values, mask = (constrain(times), constrain(values),
+                                       constrain(mask))
                 k = jax.random.fold_in(key, epoch)
                 p, s, tr_loss = self._epoch_update(
                     p, s, times, values, mask, k, n, batch_size, shuffle)
@@ -452,8 +465,7 @@ class Trainer:
         use_chunks = (chunk_epochs not in (0, False, None)
                       and isinstance(train_data_fn, DataLoader)
                       and (val_data_fn is None
-                           or isinstance(val_data_fn, DataLoader))
-                      and self._shard is None)
+                           or isinstance(val_data_fn, DataLoader)))
         if use_chunks:
             return self._train_chunked(
                 train_data_fn, val_data_fn, start_epoch, n_epochs,

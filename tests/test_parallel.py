@@ -62,6 +62,25 @@ def test_moment_axis_ep_sharding():
                                atol=1e-6)
 
 
+def test_dp_chunked_run_experiment(tmp_path):
+    """run_experiment with data_parallel: chunked training under a mesh
+    produces the same losses as the single-device run (same seeds)."""
+    from njode_tpu.utils import run_experiment
+    base = dict(
+        experiment_name="dp_bs", input_dim=1, hidden_dim=8, output_dim=1,
+        learning_rate=1e-2, weight_decay=0.0, n_epochs=4, batch_size=8,
+        print_every=2, num_moments=2, moment_weights=[1.0, 10.0],
+        ignore_first_continuity=True, seed=0, data_seed=0,
+        data=dict(process_type="black_scholes", n_train=16, n_val=8,
+                  obs_fraction=0.1, cache_data=False, mu=0.1, sigma=0.5,
+                  T=1.0, n_steps=30, x0=1.0))
+    r1 = run_experiment({**base}, save_dir=str(tmp_path / "a"))
+    r2 = run_experiment({**base, "data_parallel": 8},
+                        save_dir=str(tmp_path / "b"))
+    np.testing.assert_allclose(r1["history"]["train_loss"],
+                               r2["history"]["train_loss"], rtol=1e-5)
+
+
 def test_uneven_batch_falls_back():
     mesh = make_mesh(data=8, model=1)
     shard = make_batch_sharder(mesh)
