@@ -556,6 +556,14 @@ class Trainer:
             vl = np.asarray(vl)
             rl = np.asarray(rl)
             chunk_time = time.time() - t0
+            # failure detection: surface divergence immediately with the
+            # exact epoch (the checkpoint from the previous print interval
+            # remains usable for resume-with-lower-lr)
+            if not np.all(np.isfinite(tr)):
+                bad = int(np.argmax(~np.isfinite(tr)))
+                print(f"Warning: non-finite training loss at epoch "
+                      f"{epoch + bad} — try a lower learning rate or "
+                      f"variance_method='second_moment'.", flush=True)
             per_epoch = chunk_time / L
 
             for i in range(L):
