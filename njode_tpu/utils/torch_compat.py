@@ -71,3 +71,58 @@ def params_from_torch_checkpoint(path: str, num_moments: int,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
     return params_from_torch_state_dict(sd, num_moments, shared_network)
+
+
+# --------------------------------------------------------------------------
+# export (njode_tpu -> reference layout)
+# --------------------------------------------------------------------------
+
+def _sequential_linear_indices(kind: str, n_hidden_layers: int) -> list[int]:
+    """Positions of Linear modules inside each reference nn.Sequential.
+
+    JumpNN:   [Linear, act] + n x [Drop, Linear, act]        -> 0, 3, 6, ...
+    ODEFunc:  [Linear, act] + (n-1) x [Drop, Linear, act] + [Drop, Linear]
+    OutputNN: n x [Linear, act, Drop] + [Linear]             -> 0, 3, ..., 3n
+    (reference models/jump_ode.py:19-21, 36-39, 70-74)
+    """
+    if kind == "jump":
+        return [0] + [3 * i for i in range(1, n_hidden_layers + 1)]
+    if kind == "ode":
+        mids = [3 * i for i in range(1, n_hidden_layers)]
+        last = 3 * (n_hidden_layers - 1) + 3 if n_hidden_layers > 1 else 3
+        return [0] + mids + [last]
+    if kind == "out":
+        return [3 * i for i in range(n_hidden_layers + 1)]
+    raise ValueError(kind)
+
+
+def params_to_torch_state_dict(params: dict, num_moments: int,
+                               shared_network: bool,
+                               n_hidden_layers: int = 1) -> dict:
+    """Convert an njode_tpu param pytree to a reference-loadable state dict
+    (tensor names/orientations of the reference NeuralJumpODE modules)."""
+    import numpy as np
+    import torch
+
+    out = {}
+
+    def put(prefix, kind, mlp, k=None):
+        idxs = _sequential_linear_indices(kind, n_hidden_layers)
+        layers = mlp["layers"]
+        assert len(idxs) == len(layers), (prefix, len(idxs), len(layers))
+        for pos, layer in zip(idxs, layers):
+            w = np.asarray(layer["w"] if k is None else layer["w"][k])
+            b = np.asarray(layer["b"] if k is None else layer["b"][k])
+            out[f"{prefix}.net.{pos}.weight"] = torch.tensor(w.T.copy())
+            out[f"{prefix}.net.{pos}.bias"] = torch.tensor(b.copy())
+
+    if shared_network:
+        put("jump_nn", "jump", params["jump"])
+        put("ode_func", "ode", params["ode"])
+        put("output_nn", "out", params["out"])
+    else:
+        for m in range(num_moments):
+            put(f"jump_nns.{m}", "jump", params["jump"], m)
+            put(f"ode_funcs.{m}", "ode", params["ode"], m)
+            put(f"output_nns.{m}", "out", params["out"], m)
+    return out
