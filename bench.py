@@ -135,12 +135,16 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0))
     opt_state = tx.init(params)
-    key = jax.random.PRNGKey(42)
+    # a fresh nonce per invocation: the remote execution service memoizes
+    # (program, inputs) pairs across processes, so timing a previously-seen
+    # input tuple measures the cache, not the device.
+    nonce = int.from_bytes(os.urandom(4), "little")
+    key = jax.random.fold_in(jax.random.PRNGKey(42), nonce)
+    log(f"bench: data-key nonce {nonce}")
 
     # ---- compile (excluded from throughput) ----
     t0 = time.perf_counter()
-    compiled = jax.jit(train_all, donate_argnums=(0, 1)).lower(
-        params, opt_state, key).compile()
+    compiled = jax.jit(train_all).lower(params, opt_state, key).compile()
     compile_s = time.perf_counter() - t0
     log(f"bench: compile {compile_s:.1f}s")
 
@@ -148,7 +152,16 @@ def main():
     # NOTE: materialize losses to host inside the timed region — on the
     # tunneled axon backend block_until_ready returns before the remote
     # execute completes, so a device->host copy is the reliable fence.
+    # The first execute is an UNTIMED warmup: on tunneled backends the first
+    # heavy RPC of a process pays a large one-off transport/init cost that
+    # has nothing to do with device throughput.
     import numpy as np
+    t0 = time.perf_counter()
+    _, _, w_losses = compiled(params, opt_state, jax.random.fold_in(key, 999))
+    np.asarray(w_losses)
+    warmup_s = time.perf_counter() - t0
+    log(f"bench: warmup run {warmup_s:.1f}s")
+
     t0 = time.perf_counter()
     params, opt_state, losses = compiled(params, opt_state, key)
     losses = np.asarray(losses)
