@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--hidden-dim", type=int, default=32)
     ap.add_argument("--obs-fraction", type=float, default=0.1)
+    ap.add_argument("--dt-ode-step", type=float, default=None,
+                    help="fixed Euler substep (production scripts use 0.01)")
+    ap.add_argument("--shared-network", action="store_true")
     ap.add_argument("--scaled", action="store_true",
                     help="scaled sweep config: 100k trajectories, "
                          "obs_fraction=0.02, hidden_dim=256")
@@ -89,7 +92,8 @@ def main():
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,
                           activation="relu", variance_method="direct",
-                          t_max=P["T"],
+                          t_max=P["T"], dt_ode_step=args.dt_ode_step,
+                          shared_network=args.shared_network,
                           use_pallas="auto" if args.pallas else False)
     tx = make_adam(1e-3, 5e-4)
 
