@@ -279,6 +279,34 @@ class NeuralJumpODE:
         h_final = self._euler(params, h, x_last, t_cur, t_target, r)
         return jnp.where(pred2[None, :, None], h_final, h)
 
+    def _check_substep_budget(self, times) -> None:
+        """Guard against silent under-integration: the predicated substep
+        loop has a static bound derived from ``t_max``; if an observation
+        gap needs more full substeps than that, the final 'partial' step
+        would silently span the remainder.  Checked on concrete (non-traced)
+        inputs only — jitted callers are expected to have wired ``t_max``
+        from their data config (run_experiment does)."""
+        if self.dt_ode_step is None:
+            return
+        try:
+            import jax.core
+            if isinstance(times, jax.core.Tracer):
+                return
+        except Exception:
+            return
+        import numpy as np
+        t = np.asarray(times)
+        if t.ndim != 2 or t.shape[1] < 2:
+            return
+        max_gap = float(np.max(t[:, 1:] - t[:, :-1]))
+        budget = (self.max_substeps + 1) * self.dt_ode_step
+        if max_gap > budget + 1e-9:
+            raise ValueError(
+                f"observation gap {max_gap:.4g} exceeds the Euler substep "
+                f"budget (max_substeps={self.max_substeps} x dt_ode_step="
+                f"{self.dt_ode_step}); construct the model with "
+                f"t_max >= {max_gap:.4g} (or pass max_substeps explicitly).")
+
     # ---------------------------------------------------------------- apply
 
     def apply(self, params: Params, times: jnp.ndarray, values: jnp.ndarray,
@@ -314,6 +342,7 @@ class NeuralJumpODE:
           preds, preds_before: (B, N, d_y, K) — after-jump and before-jump
           moment predictions at every slot (garbage at padded slots; mask it).
         """
+        self._check_substep_budget(times)
         times = times.astype(self.dtype)
         values = values.astype(self.dtype)
         B, N = times.shape

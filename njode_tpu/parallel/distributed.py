@@ -9,8 +9,16 @@ before building a mesh, and the ('data','model') mesh then spans all hosts
 
 from __future__ import annotations
 
-import os
+import sys
 from typing import Optional
+
+
+def _already_initialized() -> bool:
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -18,23 +26,29 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> int:
     """Initialize jax.distributed (idempotent). Returns the process index.
 
-    With no arguments, relies on the TPU environment's auto-detection
-    (GCE metadata / megascale env vars); explicit args mirror
-    ``jax.distributed.initialize``.
+    With no arguments, attempts JAX's cluster auto-detection (TPU metadata /
+    SLURM env); if that fails — the normal case on a single-host dev box —
+    it degrades to single-process mode with a note instead of raising.
+    Explicit args mirror ``jax.distributed.initialize`` and failures there
+    propagate.
     """
     import jax
 
-    if int(os.environ.get("JAX_NUM_PROCESSES", "1")) == 1 and (
-            coordinator_address is None and num_processes in (None, 1)):
-        return 0
+    if _already_initialized():
+        return jax.process_index()
+    explicit = coordinator_address is not None or process_id is not None \
+        or (num_processes is not None and num_processes > 1)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except Exception as e:
+        if explicit:
             raise
+        print(f"initialize_distributed: single-process mode "
+              f"(auto-detection unavailable: {e})", file=sys.stderr)
+        return 0
     return jax.process_index()
 
 

@@ -185,9 +185,17 @@ def moments_at_obs_jit(times, values, process_type, num_moments=1,
                        variance_method="direct", mask=None, switch_times=None,
                        **process_params):
     """Jitted single-program evaluator (one compile per config)."""
-    # only hashable scalar params participate in the static cache key
-    items = tuple(sorted((k, v) for k, v in process_params.items()
-                         if isinstance(v, (int, float, bool, str, type(None)))))
+    # only scalar params participate in the static cache key; numpy scalars
+    # and 0-d arrays are converted (dropping them would silently fall back
+    # to default process parameters), non-scalar extras are ignored like the
+    # reference's .get lookups
+    items = []
+    for k, v in process_params.items():
+        if isinstance(v, (bool, int, float, str, type(None))):
+            items.append((k, v))
+        elif hasattr(v, "ndim") and getattr(v, "ndim") == 0:
+            items.append((k, float(v)))
+    items = tuple(sorted(items))
     B, N = times.shape
     dummy = jnp.zeros((), times.dtype)
     return _moments_jit(

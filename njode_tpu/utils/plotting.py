@@ -117,9 +117,14 @@ def plot_single_trajectory_with_condexp(model, params, process_type: str,
                 times_full, X_full, obs_times,
                 process_params.get("theta", 1.0), process_params.get("sigma", 0.2))
         elif process_type == "heston":
+            # the Heston variance approximation uses xi (vol-of-vol), same
+            # convention as the at-obs truths feeding the relative-loss
+            # metric (simulation/moments.py) — the reference plot read a
+            # nonexistent 'sigma' here and silently drew sigma=0.2 bands
             cv = condvar_heston_on_grid(
                 times_full, X_full, obs_times,
-                process_params.get("mu", 0.0), process_params.get("sigma", 0.2))
+                process_params.get("mu", 0.0),
+                process_params.get("xi", process_params.get("sigma", 0.2)))
 
     # model rollout on the dense grid — one canonical path for all inference
     obs_mask = jnp.zeros((1, G), bool).at[0, obs_idx].set(True)
