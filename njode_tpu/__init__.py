@@ -19,7 +19,8 @@ The two-symbol public API mirrors the reference package root
 """
 
 from .models import NeuralJumpODE, nj_ode_loss
+from .serving import NJODEFilter
 
 __version__ = "0.1.0"
 
-__all__ = ["NeuralJumpODE", "nj_ode_loss", "__version__"]
+__all__ = ["NeuralJumpODE", "nj_ode_loss", "NJODEFilter", "__version__"]

@@ -399,6 +399,80 @@ class NeuralJumpODE:
         out_before = [preds_before[b, :n] for b, n in enumerate(lengths)]
         return out, out_before
 
+    # ----------------------------------------------------- query inference
+
+    def predict_at(self, params: Params, obs_times: jnp.ndarray,
+                   obs_values: jnp.ndarray, query_times: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None):
+        """Conditional-moment predictions at arbitrary query times.
+
+        Serving-oriented API with no reference analogue: thanks to the
+        jump-reset structure, every query integrates independently from the
+        state at its own last observation — all B·Q queries run as one
+        batch of matmuls, no sequential rollout.
+
+        Semantics match ``model.forward``'s between-observation integration
+        (single Euler step over the gap, or fixed-``dt_ode_step`` substeps):
+        the prediction at query t uses the latest observation with
+        ``t_obs <= t`` (right-continuous filtration); queries before the
+        first observation return 0, like the model's before-first prediction
+        (reference models/jump_ode.py:161).
+
+        Args:
+          obs_times:  (B, N) sorted observation times (end-padded).
+          obs_values: (B, N, d_x).
+          query_times: (B, Q).
+          mask: (B, N) observation validity. Padding must repeat the last
+            valid time/value (as produced by ``pad_ragged``).
+
+        Returns: dict with 'mean' (B, Q, d_y), 'var' (B, Q, d_y) or None,
+          'raw' (B, Q, d_y, K).
+        """
+        obs_times = obs_times.astype(self.dtype)
+        obs_values = obs_values.astype(self.dtype)
+        query_times = query_times.astype(self.dtype)
+        B, N = obs_times.shape
+        Q = query_times.shape[1]
+        d_x = obs_values.shape[-1]
+
+        # latest observation index with t_obs <= t, per row
+        if mask is not None:
+            # exclude padded slots from the search by pushing them to +inf
+            search_times = jnp.where(mask, obs_times, jnp.inf)
+        else:
+            search_times = obs_times
+        idx = jax.vmap(
+            lambda t, q: jnp.searchsorted(t, q, side="right") - 1
+        )(search_times, query_times)
+        idx = jnp.clip(idx, 0, N - 1)                        # (B, Q)
+
+        x_last = jnp.take_along_axis(obs_values, idx[..., None], axis=1)
+        t_last = jnp.take_along_axis(obs_times, idx, axis=1)
+
+        x_flat = x_last.reshape(B * Q, d_x)
+        t_flat = t_last.reshape(B * Q)
+        q_flat = query_times.reshape(B * Q)
+
+        h = self._jump(params, x_flat)                        # (K_h, B*Q, d_h)
+        h = self._integrate_gap(params, h, x_flat, t_flat, q_flat)
+        y = self._readout(params, h)                          # (B*Q, d_y, K)
+        raw = y.reshape(B, Q, self.output_dim, self.num_moments)
+
+        # queries strictly before the first observation -> zeros
+        t_first = search_times[:, :1]
+        before_first = (query_times < t_first)[..., None, None]
+        raw = jnp.where(before_first, 0.0, raw)
+
+        mean = raw[..., 0]
+        var = None
+        if self.num_moments > 1:
+            w = raw[..., 1]
+            if self.variance_method == "direct":
+                var = w ** 2
+            else:
+                var = jnp.maximum(w - mean ** 2, 0.0)
+        return {"mean": mean, "var": var, "raw": raw}
+
     # -------------------------------------------------------- grid rollout
 
     def predict_on_grid(self, params: Params, grid_times: jnp.ndarray,
