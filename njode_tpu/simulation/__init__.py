@@ -17,6 +17,12 @@ from .sde import (
     simulate_batch,
     subsample_random_grid_points,
 )
+from .registry import (
+    get_moments_fn,
+    get_paths_fn,
+    register_process,
+    registered_processes,
+)
 from .moments import (
     condexp_black_scholes_on_grid,
     condexp_heston_on_grid,
@@ -39,4 +45,6 @@ __all__ = [
     "condexp_hybrid_on_grid", "condexp_ou_on_grid",
     "condvar_black_scholes_on_grid", "condvar_heston_on_grid",
     "condvar_ou_on_grid", "get_conditional_moments_at_obs", "moments_at_obs",
+    "register_process", "registered_processes", "get_paths_fn",
+    "get_moments_fn",
 ]

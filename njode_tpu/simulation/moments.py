@@ -70,6 +70,17 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
     Returns:
       (moments, moments_before): (B, N, d_x, num_moments) each.
     """
+    from .registry import get_moments_fn
+    custom = get_moments_fn(process_type)
+    if custom is not None:
+        out, out_b = custom(times, values, num_moments=num_moments,
+                            variance_method=variance_method, **process_params)
+        if mask is not None:
+            m = mask[..., None, None]
+            out = jnp.where(m, out, 0.0)
+            out_b = jnp.where(m, out_b, 0.0)
+        return out, out_b
+
     B, N, d = values.shape
     dtype = values.dtype
     dt = jnp.concatenate(

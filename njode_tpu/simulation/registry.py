@@ -1,0 +1,53 @@
+"""Custom process registry — extension point for user-defined SDEs.
+
+The reference hardcodes its four process families in a dispatch chain
+(reference data_generation.py:271-281); here third-party processes plug in
+without touching framework code:
+
+    from njode_tpu.simulation import register_process
+
+    def my_paths(key, n_paths, **params):
+        times = ...   # (G,)
+        X = ...       # (n_paths, G)
+        return times, X            # optionally (times, X, extra)
+
+    register_process("my_sde", my_paths, moments_fn=my_moments)  # moments optional
+
+`simulate_batch`, `create_trajectory_batch`, the data loaders and (when a
+``moments_fn`` is given) the relative-loss machinery then accept
+``process_type="my_sde"`` everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+_PATHS: dict[str, Callable] = {}
+_MOMENTS: dict[str, Callable] = {}
+
+
+def register_process(name: str, paths_fn: Callable,
+                     moments_fn: Optional[Callable] = None) -> None:
+    """Register a path generator (and optionally analytic moments).
+
+    paths_fn(key, n_paths, **params) -> (grid_times (G,), paths (B, G))
+        or (grid_times, paths, extra) — extra is stored as
+        ``TrajectoryBatch.switch_times``.
+    moments_fn(times (B,N), values (B,N,d), num_moments, variance_method,
+        **params) -> (moments, moments_before), both (B, N, d, K).
+    """
+    _PATHS[name] = paths_fn
+    if moments_fn is not None:
+        _MOMENTS[name] = moments_fn
+
+
+def get_paths_fn(name: str) -> Optional[Callable]:
+    return _PATHS.get(name)
+
+
+def get_moments_fn(name: str) -> Optional[Callable]:
+    return _MOMENTS.get(name)
+
+
+def registered_processes() -> tuple[str, ...]:
+    return tuple(_PATHS)

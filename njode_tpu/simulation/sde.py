@@ -301,7 +301,15 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
     """
     k_path, k_obs = jax.random.split(key)
     switch_times = None
-    if process_type == "black_scholes":
+    from .registry import get_paths_fn
+    custom = get_paths_fn(process_type)
+    if custom is not None:
+        out = custom(k_path, n_trajectories, **process_kwargs)
+        if len(out) == 3:
+            grid_times, paths, switch_times = out
+        else:
+            grid_times, paths = out
+    elif process_type == "black_scholes":
         grid_times, paths = bs_paths(k_path, n_trajectories, **process_kwargs)
     elif process_type == "ornstein_uhlenbeck":
         grid_times, paths = ou_paths(k_path, n_trajectories, **process_kwargs)

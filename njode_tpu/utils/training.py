@@ -364,7 +364,9 @@ class Trainer:
         (reference utils/training.py:184-196,219-255)."""
         data_cfg = config["data"]
         process_type = data_cfg["process_type"]
-        if process_type not in RELATIVE_LOSS_PROCESSES:
+        from ..simulation.registry import get_moments_fn
+        if (process_type not in RELATIVE_LOSS_PROCESSES
+                and get_moments_fn(process_type) is None):
             return None
         batch = _call_data_fn(train_data_fn, 0)
         times, values, mask, tb = as_dense(batch)
