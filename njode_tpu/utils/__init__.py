@@ -13,6 +13,7 @@ from .checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from .metrics import conditional_moment_mse, relative_loss
 from .torch_compat import (
     params_from_torch_checkpoint,
     params_from_torch_state_dict,
@@ -34,7 +35,7 @@ __all__ = [
     "DataLoader", "Trainer", "as_dense", "create_data_loaders", "make_adam",
     "run_experiment", "checkpoint_exists", "load_checkpoint",
     "save_checkpoint", "params_from_torch_checkpoint",
-    "params_from_torch_state_dict",
+    "params_from_torch_state_dict", "relative_loss", "conditional_moment_mse",
 ]
 if _HAS_PLOTTING:
     __all__ += ["plot_relative_loss", "plot_relative_loss_single",

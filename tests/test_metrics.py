@@ -1,0 +1,52 @@
+"""Standalone metrics module."""
+
+import numpy as np
+
+import jax
+
+from njode_tpu import NeuralJumpODE
+from njode_tpu.simulation import simulate_batch
+from njode_tpu.utils.metrics import conditional_moment_mse, relative_loss
+from njode_tpu.utils import Trainer, make_adam
+
+
+def test_metrics_improve_with_training():
+    model = NeuralJumpODE(input_dim=1, hidden_dim=16, output_dim=1,
+                          num_moments=2)
+    trainer = Trainer(model, make_adam(1e-2), moment_weights=[1.0, 10.0],
+                      ignore_first_continuity=True)
+    kw = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=50, x0=1.0)
+    train = simulate_batch(jax.random.PRNGKey(0), 64, "black_scholes", 0.1,
+                           **kw)
+    val = simulate_batch(jax.random.PRNGKey(9), 32, "black_scholes", 0.1,
+                         **kw)
+
+    def measure():
+        rl = relative_loss(model, trainer.params, val, "black_scholes",
+                           moment_weights=[1.0, 10.0], **kw)
+        mse = conditional_moment_mse(model, trainer.params, val,
+                                     "black_scholes", **kw)
+        return rl, mse
+
+    rl0, mse0 = measure()
+    for _ in range(120):
+        trainer.train_epoch(train.times, train.values)
+    rl1, mse1 = measure()
+    assert rl1 < rl0 * 0.2
+    assert mse1["mean"] < mse0["mean"] * 0.2
+    assert np.isfinite(mse1["var"])
+
+
+def test_exact_hybrid_metric():
+    model = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(0))
+    b = simulate_batch(jax.random.PRNGKey(1), 8, "hybrid_ou_bs", 0.1,
+                       theta_ou=1.0, mu_ou=0.5, sigma_ou=0.3, mu_bs=0.1,
+                       sigma_bs=0.2)
+    rl = relative_loss(model, params, b, "hybrid_ou_bs",
+                       moment_weights=[1.0, 10.0],
+                       use_batch_switch_times=True,
+                       theta_ou=1.0, mu_ou=0.5, sigma_ou=0.3, mu_bs=0.1,
+                       sigma_bs=0.2)
+    assert np.isfinite(rl)
