@@ -58,12 +58,22 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="deprecated (pure-XLA is the default)")
     args = ap.parse_args()
+    def default_to(name, value):
+        """Apply a preset value only when the flag wasn't given explicitly."""
+        if getattr(args, name) == ap.get_default(name):
+            setattr(args, name, value)
+
     if args.quick:
-        args.n_train, args.n_val, args.n_epochs = 128, 64, 10
+        default_to("n_train", 128)
+        default_to("n_val", 64)
+        default_to("n_epochs", 10)
     if args.scaled:
-        args.n_train, args.n_val = 100_000, 5000
-        args.hidden_dim, args.obs_fraction = 256, 0.02
-        args.batch_size, args.n_epochs = 4096, 50
+        default_to("n_train", 100_000)
+        default_to("n_val", 5000)
+        default_to("hidden_dim", 256)
+        default_to("obs_fraction", 0.02)
+        default_to("batch_size", 4096)
+        default_to("n_epochs", 50)
 
     import jax
     import jax.numpy as jnp

@@ -307,6 +307,29 @@ class NeuralJumpODE:
                 f"{self.dt_ode_step}); construct the model with "
                 f"t_max >= {max_gap:.4g} (or pass max_substeps explicitly).")
 
+    def _check_gap_budget(self, gaps) -> None:
+        """Same guard for arbitrary concrete integration gaps (serving)."""
+        if self.dt_ode_step is None:
+            return
+        try:
+            import jax.core
+            if isinstance(gaps, jax.core.Tracer):
+                return
+        except Exception:
+            return
+        import numpy as np
+        g = np.asarray(gaps)
+        if g.size == 0:
+            return
+        max_gap = float(np.max(g))
+        budget = (self.max_substeps + 1) * self.dt_ode_step
+        if max_gap > budget + 1e-9:
+            raise ValueError(
+                f"integration gap {max_gap:.4g} exceeds the Euler substep "
+                f"budget (max_substeps={self.max_substeps} x dt_ode_step="
+                f"{self.dt_ode_step}); construct the model with "
+                f"t_max >= {max_gap:.4g} (or pass max_substeps explicitly).")
+
     # ---------------------------------------------------------------- apply
 
     def apply(self, params: Params, times: jnp.ndarray, values: jnp.ndarray,
@@ -448,6 +471,7 @@ class NeuralJumpODE:
 
         x_last = jnp.take_along_axis(obs_values, idx[..., None], axis=1)
         t_last = jnp.take_along_axis(obs_times, idx, axis=1)
+        self._check_gap_budget(jnp.maximum(query_times - t_last, 0.0))
 
         x_flat = x_last.reshape(B * Q, d_x)
         t_flat = t_last.reshape(B * Q)

@@ -43,13 +43,36 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except Exception as e:
+    except (ValueError, RuntimeError) as e:
+        msg = str(e).lower()
+        if "once" in msg:  # raced with another initializer — already set up
+            return jax.process_index()
         if explicit:
             raise
+        # No explicit args: degrading to single-process is correct on a dev
+        # box, but on a real pod it would make every host train an
+        # independent model believing it is process 0 — so raise whenever
+        # the environment looks multi-host.
+        if _looks_multihost():
+            raise
         print(f"initialize_distributed: single-process mode "
-              f"(auto-detection unavailable: {e})", file=sys.stderr)
+              f"({e})", file=sys.stderr)
         return 0
     return jax.process_index()
+
+
+def _looks_multihost() -> bool:
+    import os
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if hosts and len(hosts.split(",")) > 1:
+        return True
+    for var in ("MEGASCALE_NUM_SLICES", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def global_mesh(model: int = 1):

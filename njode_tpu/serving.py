@@ -99,4 +99,10 @@ class NJODEFilter:
 
     def predict(self, state: FilterState, t_query):
         """Conditional moments at ``t_query`` (>= each stream's t_last)."""
+        # guard: with fixed dt_ode_step, gaps beyond the static substep
+        # budget would silently under-integrate (same check as apply())
+        gaps = jnp.maximum(
+            jnp.broadcast_to(jnp.asarray(t_query), state.t_last.shape)
+            - state.t_last, 0.0)
+        self.model._check_gap_budget(gaps)
         return self._predict(self.params, state, t_query)

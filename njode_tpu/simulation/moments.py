@@ -73,6 +73,8 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
     from .registry import get_moments_fn
     custom = get_moments_fn(process_type)
     if custom is not None:
+        if switch_times is not None:
+            process_params = dict(process_params, switch_times=switch_times)
         out, out_b = custom(times, values, num_moments=num_moments,
                             variance_method=variance_method, **process_params)
         if mask is not None:

@@ -35,6 +35,9 @@ def register_process(name: str, paths_fn: Callable,
         ``TrajectoryBatch.switch_times``.
     moments_fn(times (B,N), values (B,N,d), num_moments, variance_method,
         **params) -> (moments, moments_before), both (B, N, d, K).
+        When per-path extras were returned by paths_fn and the caller opts
+        into them, they arrive as a ``switch_times=(B,)`` keyword — accept
+        ``**kwargs`` to ignore them.
     """
     _PATHS[name] = paths_fn
     if moments_fn is not None:

@@ -124,7 +124,7 @@ def plot_single_trajectory_with_condexp(model, params, process_type: str,
             cv = condvar_heston_on_grid(
                 times_full, X_full, obs_times,
                 process_params.get("mu", 0.0),
-                process_params.get("xi", process_params.get("sigma", 0.2)))
+                process_params.get("xi", 0.5))
 
     # model rollout on the dense grid — one canonical path for all inference
     obs_mask = jnp.zeros((1, G), bool).at[0, obs_idx].set(True)
