@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--hidden-dim", type=int, default=32)
     ap.add_argument("--obs-fraction", type=float, default=0.1)
+    ap.add_argument("--n-steps", type=int, default=100,
+                    help="simulation grid resolution")
     ap.add_argument("--dt-ode-step", type=float, default=None,
                     help="fixed Euler substep (production scripts use 0.01)")
     ap.add_argument("--shared-network", action="store_true")
@@ -97,7 +99,7 @@ def main():
     log(f"bench: platform={platform} devices={len(devices)}")
 
     # ---- the default Black-Scholes recipe (reference CLI defaults) ----
-    P = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=100, x0=1.0)
+    P = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=args.n_steps, x0=1.0)
     WEIGHTS = [1.0, 10.0]
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,

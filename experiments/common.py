@@ -69,6 +69,10 @@ def add_common_args(parser: argparse.ArgumentParser,
     parser.add_argument('--shared-network', action='store_true',
                         help='Use single shared network for all moments '
                              '(default: separate networks)')
+    parser.add_argument('--extended-moments', action='store_true',
+                        help='Train moments >= 2 against their analytic '
+                             'targets (extension: the reference allocates '
+                             'but never trains higher-moment networks)')
 
     # Data parameters
     parser.add_argument('--cache-data', action='store_true',
@@ -123,6 +127,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "num_moments": args.num_moments,
         "moment_weights": args.moment_weights,
         "shared_network": args.shared_network,
+        "extended_moments": args.extended_moments,
         "data_parallel": args.data_parallel,
         "seed": args.seed,
         "data_seed": args.data_seed,

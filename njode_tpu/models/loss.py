@@ -38,7 +38,8 @@ def nj_ode_loss_dense(values: Array, preds: Array, preds_before: Array,
                       moment_weights=None,
                       eps: float = 1e-10,
                       variance_method: str = "direct",
-                      traj_mask: Optional[Array] = None) -> Array:
+                      traj_mask: Optional[Array] = None,
+                      extended_moments: bool = False) -> Array:
     """Dense masked NJ-ODE loss.
 
     Args:
@@ -104,6 +105,31 @@ def nj_ode_loss_dense(values: Array, preds: Array, preds_before: Array,
         w1 = 1.0 if moment_weights is None else moment_weights[1]
         total = total + w1 * var_loss
 
+    # ---- moments >= 2: EXTENSION beyond the reference ----
+    # The reference allocates networks for higher moments but never trains
+    # them ("Higher moments would be added here", data_generation.py:917;
+    # the loss reads only moments 0/1).  With extended_moments=True, moment
+    # index m >= 2 learns the (m+1)-th conditional moment:
+    #   direct:        central moment E[(X - E[X])^{m+1}] — raw W, target
+    #                  Z = (X - stop_gradient(Y_mean))^{m+1};
+    #   second_moment: raw moment E[X^{m+1}] — raw W, target Z = X^{m+1}.
+    if extended_moments and num_moments > 2:
+        for k in range(2, num_moments):
+            p_k = k + 1
+            Wk = preds[..., k]
+            Wkb = preds_before[..., k]
+            if variance_method == "direct":
+                Zk = (X - jax.lax.stop_gradient(Y)) ** p_k
+                Zkb = (X - jax.lax.stop_gradient(Yb)) ** p_k
+            else:
+                Zk = X ** p_k
+                Zkb = Zk
+            jk = jnp.sum((Zk - Wk) ** 2, axis=-1)
+            ck = jnp.sum((Zkb - Wkb) ** 2, axis=-1)
+            lk = two_term(jk, ck)
+            wk = 1.0 if moment_weights is None else moment_weights[k]
+            total = total + wk * lk
+
     if traj_mask is None:
         return jnp.mean(total)
     tm = traj_mask.astype(X.dtype)
@@ -119,7 +145,8 @@ def nj_ode_loss(batch_times: Union[Array, Sequence[Array]],
                 eps: float = 1e-10,
                 variance_method: str = "direct",
                 mask: Optional[Array] = None,
-                traj_mask: Optional[Array] = None) -> Array:
+                traj_mask: Optional[Array] = None,
+                extended_moments: bool = False) -> Array:
     """Reference-compatible entry point (models/jump_ode.py:235-244 signature).
 
     Accepts either the reference's ragged lists (per-trajectory arrays) or
@@ -141,7 +168,9 @@ def nj_ode_loss(batch_times: Union[Array, Sequence[Array]],
             Pb[b, :n] = np.asarray(pb, dtype=np.float32)
         return nj_ode_loss_dense(values, jnp.asarray(P), jnp.asarray(Pb), m,
                                  ignore_first_continuity, moment_weights, eps,
-                                 variance_method)
+                                 variance_method,
+                                 extended_moments=extended_moments)
     return nj_ode_loss_dense(batch_values, preds, preds_before, mask,
                              ignore_first_continuity, moment_weights, eps,
-                             variance_method, traj_mask)
+                             variance_method, traj_mask,
+                             extended_moments=extended_moments)

@@ -47,6 +47,56 @@ def _ou_var(dt: Array, theta: float, sigma: float) -> Array:
     return sigma ** 2 / (2.0 * theta) * (1.0 - jnp.exp(-2.0 * theta * dt))
 
 
+# higher conditional moments (extension beyond the reference, which
+# zero-fills moments >= 2)
+
+def _bs_raw_moment(prev: Array, dt: Array, mu: float, sigma: float,
+                   p: int) -> Array:
+    """Lognormal: E[X_t^p | X_s] = X_s^p exp(p mu dt + p(p-1)/2 sigma^2 dt)."""
+    return prev ** p * jnp.exp(p * mu * dt + 0.5 * p * (p - 1)
+                               * sigma ** 2 * dt)
+
+
+def _bs_central_moment(prev: Array, dt: Array, mu: float, sigma: float,
+                       p: int) -> Array:
+    """E[(X - E[X])^p | X_s] via the binomial expansion over raw moments."""
+    import math
+    m1 = _bs_raw_moment(prev, dt, mu, sigma, 1)
+    out = jnp.zeros_like(prev)
+    for j in range(p + 1):
+        r_j = _bs_raw_moment(prev, dt, mu, sigma, j) if j > 0 else 1.0
+        out = out + math.comb(p, j) * r_j * (-m1) ** (p - j)
+    return out
+
+
+def _ou_raw_moment(prev: Array, dt: Array, theta: float, mu: float,
+                   sigma: float, p: int) -> Array:
+    """Gaussian conditional law N(m, v): raw moments up to p=4."""
+    m = _ou_mean(prev, dt, theta, mu)
+    v = _ou_var(dt, theta, sigma)
+    if p == 1:
+        return m
+    if p == 2:
+        return m ** 2 + v
+    if p == 3:
+        return m ** 3 + 3.0 * m * v
+    if p == 4:
+        return m ** 4 + 6.0 * m ** 2 * v + 3.0 * v ** 2
+    raise ValueError(f"OU raw moment p={p} unsupported (max 4)")
+
+
+def _ou_central_moment(prev: Array, dt: Array, theta: float, sigma: float,
+                       p: int) -> Array:
+    v = _ou_var(dt, theta, sigma)
+    if p == 2:
+        return jnp.broadcast_to(v, prev.shape)
+    if p == 3:
+        return jnp.zeros_like(prev)
+    if p == 4:
+        return jnp.broadcast_to(3.0 * v ** 2, prev.shape)
+    raise ValueError(f"OU central moment p={p} unsupported (max 4)")
+
+
 # --------------------------------------------------------------------------
 # at-observation truths (dense, batched)
 # --------------------------------------------------------------------------
@@ -164,10 +214,42 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
             raise ValueError(f"Unknown variance_method: {variance_method}")
         moments.append(m1)
         moments_before.append(m1b)
-    # moments >= 2 are zero-filled, as in the reference (never computed, :917)
-    for _ in range(num_moments - len(moments)):
-        moments.append(jnp.zeros_like(values))
-        moments_before.append(jnp.zeros_like(values))
+    # moments >= 2: analytic higher conditional moments for BS/OU/Heston(~BS)
+    # up to the 4th moment (extension; the reference zero-fills, :917).
+    # 'direct' convention: central moments (0 after a jump); 'second_moment':
+    # raw moments E[X^p] (X^p after a jump).
+    for m_idx in range(len(moments), num_moments):
+        p_ord = m_idx + 1
+        supported = (not disabled and p_ord <= 4 and process_type in
+                     ("black_scholes", "ornstein_uhlenbeck", "heston"))
+        if not supported:
+            moments.append(jnp.zeros_like(values))
+            moments_before.append(jnp.zeros_like(values))
+            continue
+        if variance_method == "second_moment":  # raw moments
+            if process_type == "ornstein_uhlenbeck":
+                mb_k = _ou_raw_moment(prev, dt, p.get("theta", 1.0),
+                                      p.get("mu", 0.0), p.get("sigma", 0.3),
+                                      p_ord)
+            else:  # bs / heston-as-bs
+                sig = p.get("sigma", 0.2) if process_type == "black_scholes" \
+                    else p.get("xi", 0.5)
+                mb_k = _bs_raw_moment(prev, dt, p.get("mu", 0.0), sig, p_ord)
+            after_k = values ** p_ord
+            mb_k = jnp.where(first, after_k, mb_k)
+        else:  # central moments
+            if process_type == "ornstein_uhlenbeck":
+                mb_k = _ou_central_moment(prev, dt, p.get("theta", 1.0),
+                                          p.get("sigma", 0.3), p_ord)
+            else:
+                sig = p.get("sigma", 0.2) if process_type == "black_scholes" \
+                    else p.get("xi", 0.5)
+                mb_k = _bs_central_moment(prev, dt, p.get("mu", 0.0), sig,
+                                          p_ord)
+            after_k = jnp.zeros_like(values)
+            mb_k = jnp.where(first, 0.0, mb_k)
+        moments.append(after_k)
+        moments_before.append(mb_k)
 
     out = jnp.stack(moments, axis=-1)
     out_b = jnp.stack(moments_before, axis=-1)

@@ -164,6 +164,7 @@ class Trainer:
                  ignore_first_continuity: bool = False,
                  moment_weights: Optional[List[float]] = None,
                  variance_method: str = "direct",
+                 extended_moments: bool = False,
                  mesh=None, seed: int = 0):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else make_adam(1e-3)
@@ -171,6 +172,7 @@ class Trainer:
         self.ignore_first_continuity = ignore_first_continuity
         self.moment_weights = list(moment_weights) if moment_weights else None
         self.variance_method = variance_method
+        self.extended_moments = extended_moments
         self.mesh = mesh
         self._rng = jax.random.PRNGKey(seed)
 
@@ -199,7 +201,8 @@ class Trainer:
                                  ignore_first_continuity=self.ignore_first_continuity,
                                  moment_weights=self.moment_weights,
                                  variance_method=self.variance_method,
-                                 traj_mask=traj_mask)
+                                 traj_mask=traj_mask,
+                                 extended_moments=self.extended_moments)
 
     # ----------------------------------------------------------- train step
 
@@ -304,7 +307,8 @@ class Trainer:
                             rel["values"], rel["y_true"],
                             rel["y_true_before"], rel["mask"],
                             moment_weights=self.moment_weights,
-                            variance_method=self.variance_method)
+                            variance_method=self.variance_method,
+                            extended_moments=self.extended_moments)
                         return (Lm - Lt) / jnp.maximum(Lt, 1e-8)
                     r = lax.cond(epoch % print_every == 0, rel_val,
                                  lambda _: jnp.nan, operand=None)
@@ -390,7 +394,8 @@ class Trainer:
             self._loss_no_first(p, t, v, m),
             nj_ode_loss_dense(v, yt, ytb, m,
                               moment_weights=self.moment_weights,
-                              variance_method=self.variance_method)))
+                              variance_method=self.variance_method,
+                              extended_moments=self.extended_moments)))
         return dict(times=times, values=values, mask=mask,
                     y_true=y_true, y_true_before=y_true_before, fn=rel_fn)
 
@@ -400,7 +405,8 @@ class Trainer:
         preds, preds_before = self.model.apply(params, times, values, mask)
         return nj_ode_loss_dense(values, preds, preds_before, mask,
                                  moment_weights=self.moment_weights,
-                                 variance_method=self.variance_method)
+                                 variance_method=self.variance_method,
+                                 extended_moments=self.extended_moments)
 
     def compute_relative_loss(self, rel) -> float:
         L_model, L_true = rel["fn"](self.params, rel["times"], rel["values"],
@@ -673,6 +679,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
                       ignore_first_continuity=config.get("ignore_first_continuity", False),
                       moment_weights=config.get("moment_weights"),
                       variance_method=config.get("variance_method", "direct"),
+                      extended_moments=config.get("extended_moments", False),
                       mesh=mesh,
                       seed=config.get("seed", 0))
 
