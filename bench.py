@@ -178,10 +178,19 @@ def main():
     warmup_s = time.perf_counter() - t0
     log(f"bench: warmup run {warmup_s:.1f}s")
 
-    t0 = time.perf_counter()
-    params, opt_state, losses = compiled(params, opt_state, key)
-    losses = np.asarray(losses)
-    train_s = time.perf_counter() - t0
+    # best-of-3 timed runs (distinct fresh keys): residual transport jitter
+    # through the tunnel is one-sided, so the min is the device time.
+    times = []
+    trained = None
+    for rep in range(3):
+        k_rep = jax.random.fold_in(key, rep)
+        t0 = time.perf_counter()
+        trained, _, losses = compiled(params, opt_state, k_rep)
+        losses = np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    params = trained  # accuracy metrics evaluate the trained model
+    train_s = min(times)
+    log(f"bench: timed runs {[f'{t:.3f}' for t in times]}s (min taken)")
     traj_per_sec = n * E / train_s
     log(f"bench: {E} epochs x {n} traj in {train_s:.3f}s "
         f"({traj_per_sec:,.0f} traj/s), final loss "
