@@ -5,15 +5,18 @@ for JAX/XLA on TPU.  The reference runs three nested *Python* loops per training
 step — over trajectories (``forward``, :229), over observations
 (``forward_single``, :163) and over Euler substeps (:196) — each dispatching
 microsecond-scale kernels on ``(1, d_h)`` tensors.  Here the whole forward is
-ONE ``jax.lax.scan`` over padded observation slots ``[B, N_obs]``:
+SCAN-FREE: the jump resets the latent state at every observation, so there is
+no cross-observation recurrence, and all padded observation slots
+``[B, N_obs]`` fold into a handful of large batched matmuls (see
+:meth:`NeuralJumpODE.apply`):
 
 * the batch axis ``B`` is a dense array dimension (vmap-free by construction,
   shardable over a device mesh),
 * the per-moment networks are stacked on a leading ``K`` axis and vmapped
   (replaces ``nn.ModuleList``, reference :111-113),
-* the Euler integration over each inter-observation gap is performed *lazily*
-  at the next observation slot, which preserves the reference semantics
-  exactly:
+* the Euler integration over each inter-observation gap starts from its own
+  jump state and is batched over ALL gaps at once, preserving the reference
+  semantics exactly:
     - ``dt_ode_step=None``: one Euler step spanning the whole gap
       (reference :188-190),
     - fixed ``dt_ode_step``: ``while t_cur + dt < t_next`` full steps plus a
