@@ -13,8 +13,10 @@ observation mask instead of ragged Python lists:
   - ``second_moment``: V = W raw, target Z = X^2.  NOTE: the reference's
     docstring claims a softplus is applied here but the code applies none
     (:273 vs :349-353); we follow the code.
-* Moments with index >= 2 contribute nothing to the loss, exactly as in the
-  reference (only moments 0 and 1 are ever read, :304,:330).
+* Moments with index >= 2 contribute nothing to the loss by default, exactly
+  as in the reference (only moments 0 and 1 are ever read, :304,:330);
+  ``extended_moments=True`` opts into training them against analytic
+  higher-moment targets (extension — see the inline note below).
 * Reduction: per-trajectory mean over *observations*, weighted sum over
   moments, then mean over trajectories (reference :321,:374,:380-383).
 * ``ignore_first_continuity`` zeroes the continuity error at slot 0
