@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--obs-fraction", type=float, default=0.1)
     ap.add_argument("--n-steps", type=int, default=100,
                     help="simulation grid resolution")
+    ap.add_argument("--process", type=str, default="black_scholes",
+                    choices=["black_scholes", "ornstein_uhlenbeck",
+                             "heston", "hybrid_ou_bs"],
+                    help="process family to benchmark")
     ap.add_argument("--dt-ode-step", type=float, default=None,
                     help="fixed Euler substep (production scripts use 0.01)")
     ap.add_argument("--shared-network", action="store_true")
@@ -98,8 +102,16 @@ def main():
     platform = devices[0].platform
     log(f"bench: platform={platform} devices={len(devices)}")
 
-    # ---- the default Black-Scholes recipe (reference CLI defaults) ----
-    P = dict(mu=0.1, sigma=0.5, T=1.0, n_steps=args.n_steps, x0=1.0)
+    # ---- recipe parameters per process family (reference CLI defaults) ----
+    PROCESS_PARAMS = {
+        "black_scholes": dict(mu=0.1, sigma=0.5, x0=1.0),
+        "ornstein_uhlenbeck": dict(theta=1.0, mu=0.5, sigma=0.3, x0=0.0),
+        "heston": dict(mu=0.5, kappa=2.0, theta=0.04, xi=0.5, rho=-0.5,
+                       x0=1.0, v0=0.04),
+        "hybrid_ou_bs": dict(theta_ou=1.0, mu_ou=0.5, sigma_ou=0.3,
+                             mu_bs=0.1, sigma_bs=0.2, x0=1.0),
+    }
+    P = dict(T=1.0, n_steps=args.n_steps, **PROCESS_PARAMS[args.process])
     WEIGHTS = [1.0, 10.0]
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,
@@ -116,7 +128,7 @@ def main():
     def epoch_body(carry, e):
         params, opt_state, key = carry
         k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
-        batch = simulate_batch(k_data, n, "black_scholes", args.obs_fraction, **P)
+        batch = simulate_batch(k_data, n, args.process, args.obs_fraction, **P)
         times, values, mask = batch.times, batch.values, batch.mask
         perm = jax.random.permutation(k_perm, n)
         idx = jnp.concatenate(
@@ -199,9 +211,9 @@ def main():
     # ---- accuracy: val MSE vs closed-form conditional moments ----
     @jax.jit
     def val_metrics(params, key):
-        vb = simulate_batch(key, args.n_val, "black_scholes", args.obs_fraction, **P)
+        vb = simulate_batch(key, args.n_val, args.process, args.obs_fraction, **P)
         preds, preds_before = model.apply(params, vb.times, vb.values, vb.mask)
-        yt, ytb = moments_at_obs(vb.times, vb.values, "black_scholes",
+        yt, ytb = moments_at_obs(vb.times, vb.values, args.process,
                                  num_moments=2, variance_method="direct",
                                  **P)
         # conditional-mean MSE on the predictive (before-jump) side,
@@ -223,7 +235,7 @@ def main():
     baseline = float(os.environ.get("NJODE_BASELINE_TRAJ_PER_SEC",
                                     DEFAULT_BASELINE_TRAJ_PER_SEC))
     print(json.dumps({
-        "metric": "bs_train_throughput",
+        "metric": f"{args.process}_train_throughput",
         "value": round(traj_per_sec, 1),
         "unit": "trajectories/sec/chip",
         "vs_baseline": round(traj_per_sec / baseline, 2),
