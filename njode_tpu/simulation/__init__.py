@@ -23,6 +23,12 @@ from .registry import (
     register_process,
     registered_processes,
 )
+from .multidim import (
+    bs_nd_moments,
+    bs_paths_nd,
+    ou_nd_moments,
+    ou_paths_nd,
+)
 from .moments import (
     condexp_black_scholes_on_grid,
     condexp_heston_on_grid,
@@ -47,4 +53,5 @@ __all__ = [
     "condvar_ou_on_grid", "get_conditional_moments_at_obs", "moments_at_obs",
     "register_process", "registered_processes", "get_paths_fn",
     "get_moments_fn",
+    "bs_paths_nd", "ou_paths_nd", "bs_nd_moments", "ou_nd_moments",
 ]

@@ -262,6 +262,8 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
 
 from functools import partial
 
+_SKIP = object()  # sentinel: parameter not representable in the static key
+
 
 @partial(jax.jit, static_argnames=("process_type", "num_moments",
                                    "variance_method", "param_items",
@@ -280,16 +282,27 @@ def moments_at_obs_jit(times, values, process_type, num_moments=1,
                        variance_method="direct", mask=None, switch_times=None,
                        **process_params):
     """Jitted single-program evaluator (one compile per config)."""
-    # only scalar params participate in the static cache key; numpy scalars
-    # and 0-d arrays are converted (dropping them would silently fall back
-    # to default process parameters), non-scalar extras are ignored like the
-    # reference's .get lookups
+    # only hashable params participate in the static cache key; numpy scalars
+    # and 0-d arrays are converted, and list/tuple vector params (multi-dim
+    # processes: per-component mu/sigma/theta, corr matrices) become nested
+    # tuples (dropping them would silently fall back to default process
+    # parameters); other non-scalar extras are ignored like the reference's
+    # .get lookups
+    def _freeze(v):
+        if isinstance(v, (bool, int, float, str, type(None))):
+            return v
+        if hasattr(v, "ndim") and getattr(v, "ndim") == 0:
+            return float(v)
+        if isinstance(v, (list, tuple)):
+            parts = [_freeze(x) for x in v]
+            return tuple(parts) if all(p is not _SKIP for p in parts) else _SKIP
+        return _SKIP
+
     items = []
     for k, v in process_params.items():
-        if isinstance(v, (bool, int, float, str, type(None))):
-            items.append((k, v))
-        elif hasattr(v, "ndim") and getattr(v, "ndim") == 0:
-            items.append((k, float(v)))
+        fv = _freeze(v)
+        if fv is not _SKIP:
+            items.append((k, fv))
     items = tuple(sorted(items))
     B, N = times.shape
     dummy = jnp.zeros((), times.dtype)

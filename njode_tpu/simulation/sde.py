@@ -263,7 +263,8 @@ class TrajectoryBatch:
     mask:   (B, N) bool (all True for same-config batches; kept for generality)
     grid_times: (G,) the dense simulation grid
     obs_idx:    (B, N) grid indices of the observations
-    paths:      (B, G) full simulated paths (never leaves HBM)
+    paths:      (B, G) full simulated paths — (B, G, d) for multi-dim
+                processes (never leaves HBM)
     switch_times: (B,) hybrid switch times or None
     """
     times: jnp.ndarray
@@ -325,7 +326,10 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
     n_grid = grid_times.shape[0]
     obs_idx = sample_obs_indices(k_obs, n_trajectories, n_grid, obs_fraction)
     times = grid_times[obs_idx]                                   # (B, N)
-    values = jnp.take_along_axis(paths, obs_idx, axis=1)[..., None]  # (B, N, 1)
+    if paths.ndim == 3:   # multi-dimensional process: paths (B, G, d)
+        values = jnp.take_along_axis(paths, obs_idx[..., None], axis=1)
+    else:
+        values = jnp.take_along_axis(paths, obs_idx, axis=1)[..., None]  # (B, N, 1)
     mask = jnp.ones(times.shape, dtype=bool)
     return TrajectoryBatch(times, values, mask, grid_times, obs_idx, paths,
                            switch_times)
