@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--scaled", action="store_true",
                     help="scaled sweep config: 100k trajectories, "
                          "obs_fraction=0.02, hidden_dim=256")
+    ap.add_argument("--compute-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="mixed-precision matmul dtype (params stay f32); "
+                         "bfloat16 pays off at hidden-dim >= 256")
     ap.add_argument("--pallas", action="store_true",
                     help="enable the fused Pallas cell (default: pure-XLA "
                          "path, which measures faster at these shapes)")
@@ -118,7 +122,8 @@ def main():
                           activation="relu", variance_method="direct",
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
-                          use_pallas="auto" if args.pallas else False)
+                          use_pallas="auto" if args.pallas else False,
+                          compute_dtype=args.compute_dtype)
     tx = make_adam(1e-3, 5e-4)
 
     n, bs, E = args.n_train, args.batch_size, args.n_epochs

@@ -96,6 +96,11 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Model-init / shuffle seed')
     parser.add_argument('--data-seed', type=int, default=0,
                         help='Data-generation seed')
+    parser.add_argument('--compute-dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Mixed-precision matmul dtype (params stay '
+                             'float32); bfloat16 pays off at hidden-dim '
+                             '>= 256')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='Write a jax.profiler trace of the run here')
     parser.add_argument('--no-plots', action='store_true',
@@ -129,6 +134,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "shared_network": args.shared_network,
         "extended_moments": args.extended_moments,
         "data_parallel": args.data_parallel,
+        "compute_dtype": args.compute_dtype,
         "seed": args.seed,
         "data_seed": args.data_seed,
         "data": {

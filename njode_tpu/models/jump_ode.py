@@ -73,7 +73,14 @@ class NeuralJumpODE:
     Extra TPU-native arguments:
       t_max:   static upper bound on the time horizon, used to derive the
                static substep-loop bound when ``dt_ode_step`` is set.
-      dtype:   parameter / compute dtype (default float32, like the reference).
+      dtype:   parameter / carry dtype (default float32, like the reference).
+      compute_dtype: mixed-precision matmul dtype (e.g. ``jnp.bfloat16`` or
+               the string "bfloat16").  When set, the three MLPs run with
+               params and activations cast to this dtype (halving the HBM
+               traffic for weights/activations — the win appears at
+               hidden_dim >= 256) while the f32 master params, the latent
+               Euler carry, time features and all readout outputs stay in
+               ``dtype``.  None (default) = full ``dtype`` compute.
     """
 
     def __init__(self, input_dim: int, hidden_dim: int, output_dim: int,
@@ -84,7 +91,7 @@ class NeuralJumpODE:
                  dropout_rate: float = 0.0, input_scaling: str = "identity",
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
-                 use_pallas=False, dtype=jnp.float32):
+                 use_pallas=False, dtype=jnp.float32, compute_dtype=None):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -99,6 +106,14 @@ class NeuralJumpODE:
         self.variance_method = variance_method
         self.t_max = t_max
         self.dtype = dtype
+        if isinstance(compute_dtype, str):
+            _named = {"float32": None, "none": None,
+                      "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                      "float16": jnp.float16, "fp16": jnp.float16}
+            if compute_dtype.lower() not in _named:
+                raise ValueError(f"Unknown compute_dtype: {compute_dtype}")
+            compute_dtype = _named[compute_dtype.lower()]
+        self.compute_dtype = compute_dtype
 
         self._act = get_activation(activation)
         self._scale = get_input_scaling(input_scaling)
@@ -130,6 +145,8 @@ class NeuralJumpODE:
 
     def _use_fused(self) -> bool:
         if self.use_pallas is False or not self._fused_eligible:
+            return False
+        if self.compute_dtype is not None:  # fused cell is f32-only
             return False
         if self.use_pallas == "interpret":
             return True
@@ -171,20 +188,35 @@ class NeuralJumpODE:
 
     # ------------------------------------------------------------- sub-nets
 
+    def _mp(self, subtree):
+        """Cast a param subtree to the mixed-precision compute dtype."""
+        if self.compute_dtype is None:
+            return subtree
+        cd = self.compute_dtype
+        return jax.tree_util.tree_map(lambda a: a.astype(cd), subtree)
+
+    def _mp_in(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
+
+    def _mp_out(self, y: jnp.ndarray) -> jnp.ndarray:
+        return y if self.compute_dtype is None else y.astype(self.dtype)
+
     def _jump(self, params: Params, x: jnp.ndarray,
               rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """x: (B, d_x) -> h: (K_h, B, d_h)."""
+        params = {"jump": self._mp(params["jump"])}
+        x = self._mp_in(x)
         if self.shared_network:
             h = jump_nn_apply(params["jump"], x, self._act, self.dropout_rate, rng)
-            return h[None]
+            return self._mp_out(h)[None]
         if rng is None:
-            return jax.vmap(
+            return self._mp_out(jax.vmap(
                 lambda p: jump_nn_apply(p, x, self._act, self.dropout_rate, None)
-            )(params["jump"])
+            )(params["jump"]))
         rngs = jax.random.split(rng, self.num_moments)
-        return jax.vmap(
+        return self._mp_out(jax.vmap(
             lambda p, r: jump_nn_apply(p, x, self._act, self.dropout_rate, r)
-        )(params["jump"], rngs)
+        )(params["jump"], rngs))
 
     def _readout(self, params: Params, h: jnp.ndarray,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -194,10 +226,12 @@ class NeuralJumpODE:
         (B, d_y, K), matching the reference's ``.view(1, d_y, num_moments)``
         (reference models/jump_ode.py:170-172).
         """
+        params = {"out": self._mp(params["out"])}
+        h = self._mp_in(h)
         if self.shared_network:
             y = output_nn_apply(params["out"], h[0], self._act, self.dropout_rate, rng)
             B = y.shape[0]
-            return y.reshape(B, self.output_dim, self.num_moments)
+            return self._mp_out(y).reshape(B, self.output_dim, self.num_moments)
         if rng is not None:
             rngs = jax.random.split(rng, self.num_moments)
             ys = jax.vmap(
@@ -207,7 +241,7 @@ class NeuralJumpODE:
             ys = jax.vmap(
                 lambda p, hh: output_nn_apply(p, hh, self._act, self.dropout_rate, None)
             )(params["out"], h)
-        return jnp.transpose(ys, (1, 2, 0))  # (B, d_y, K)
+        return jnp.transpose(self._mp_out(ys), (1, 2, 0))  # (B, d_y, K)
 
     def _ode(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
              t_cur: jnp.ndarray, t_new: jnp.ndarray,
@@ -223,18 +257,19 @@ class NeuralJumpODE:
         x_s = jnp.broadcast_to(self._scale(x_last)[None], (K_h, B, self.input_dim))
         t_rel = jnp.broadcast_to(t_cur[None, :, None], (K_h, B, 1)).astype(h.dtype)
         t_el = jnp.broadcast_to((t_new - t_cur)[None, :, None], (K_h, B, 1)).astype(h.dtype)
-        inp = jnp.concatenate([h_s, x_s, t_rel, t_el], axis=-1)
+        inp = self._mp_in(jnp.concatenate([h_s, x_s, t_rel, t_el], axis=-1))
+        ode_p = self._mp(params["ode"])
         if self.shared_network:
-            dh = ode_func_apply(params["ode"], inp[0], self._act, self.dropout_rate, rng)
-            return dh[None]
+            dh = ode_func_apply(ode_p, inp[0], self._act, self.dropout_rate, rng)
+            return self._mp_out(dh)[None]
         if rng is not None:
             rngs = jax.random.split(rng, self.num_moments)
-            return jax.vmap(
+            return self._mp_out(jax.vmap(
                 lambda p, ii, r: ode_func_apply(p, ii, self._act, self.dropout_rate, r)
-            )(params["ode"], inp, rngs)
-        return jax.vmap(
+            )(ode_p, inp, rngs))
+        return self._mp_out(jax.vmap(
             lambda p, ii: ode_func_apply(p, ii, self._act, self.dropout_rate, None)
-        )(params["ode"], inp)
+        )(ode_p, inp))
 
     def _euler(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
                t_cur: jnp.ndarray, t_new: jnp.ndarray,

@@ -671,6 +671,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         # known trap per SURVEY.md §7); we pass it through.
         variance_method=config.get("variance_method", "direct"),
         t_max=config.get("data", {}).get("T", 1.0),
+        compute_dtype=config.get("compute_dtype"),
     )
 
     optimizer = make_adam(config["learning_rate"], config["weight_decay"])
