@@ -101,6 +101,10 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Mixed-precision matmul dtype (params stay '
                              'float32); bfloat16 pays off at hidden-dim '
                              '>= 256')
+    parser.add_argument('--checkpoint-backend', type=str, default='msgpack',
+                        choices=['msgpack', 'orbax'],
+                        help='Checkpoint format: single-file msgpack or an '
+                             'Orbax directory (multi-host sharded params)')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='Write a jax.profiler trace of the run here')
     parser.add_argument('--no-plots', action='store_true',
@@ -135,6 +139,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "extended_moments": args.extended_moments,
         "data_parallel": args.data_parallel,
         "compute_dtype": args.compute_dtype,
+        "checkpoint_backend": args.checkpoint_backend,
         "seed": args.seed,
         "data_seed": args.data_seed,
         "data": {

@@ -1,14 +1,24 @@
-"""Single-file checkpointing with auto-resume semantics.
+"""Checkpointing with auto-resume semantics — msgpack (default) or Orbax.
 
 TPU-native equivalent of the reference's ``torch.save`` bundle
-(reference: utils/training.py:289-308): one file holding model params,
-optimizer state and the training histories, written atomically
-(tmp + rename) so a preempted job never sees a torn checkpoint.
+(reference: utils/training.py:289-308): model params, optimizer state and
+the training histories in one artifact, written atomically so a preempted
+job never sees a torn checkpoint.
 
-Serialization is msgpack over numpy-ified pytrees (flax.serialization), so
-checkpoints are portable across hosts and JAX versions; restore goes through
-``from_state_dict`` against freshly-initialised templates, which validates
-tree structure and shapes.
+Two interchangeable backends behind the same three functions:
+
+* ``msgpack`` (default): one flat file of msgpack over numpy-ified pytrees
+  (flax.serialization) — portable across hosts and JAX versions, ideal for
+  single-host runs and the reference's single-file artifact layout.
+* ``orbax``: an Orbax PyTree checkpoint DIRECTORY at the same path — for
+  multi-host / sharded ``jax.Array`` params (each host writes only its
+  shards; Orbax reassembles on restore).  Opt in with
+  ``config["checkpoint_backend"] = "orbax"`` / ``--checkpoint-backend orbax``.
+
+Loading auto-detects the backend from the artifact on disk (directory =
+orbax, file = msgpack), so resume works regardless of which backend wrote
+the checkpoint.  Restores go through ``from_state_dict`` against
+freshly-initialised templates, which validates tree structure and shapes.
 """
 
 from __future__ import annotations
@@ -27,32 +37,17 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, params: Any, opt_state: Any,
-                    histories: dict[str, list]) -> None:
-    """Write params + optimizer state + histories to a single file."""
+def _bundle(params: Any, opt_state: Any, histories: dict[str, list]) -> dict:
     state = {
         "model_state_dict": _to_numpy(serialization.to_state_dict(params)),
         "optimizer_state_dict": _to_numpy(serialization.to_state_dict(opt_state)),
     }
     for k in HISTORY_KEYS:
         state[k] = np.asarray(histories.get(k, []), dtype=np.float64)
-    blob = serialization.msgpack_serialize(state)
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    return state
 
 
-def load_checkpoint(path: str, params_template: Any,
-                    opt_state_template: Any) -> tuple[Any, Any, dict[str, list]]:
-    """Restore (params, opt_state, histories) from ``path``.
-
-    Raises on any structural mismatch — callers implement the reference's
-    degrade-to-fresh-training behaviour (reference utils/training.py:172-174).
-    """
-    with open(path, "rb") as f:
-        state = serialization.msgpack_restore(f.read())
+def _unbundle(state: dict, params_template: Any, opt_state_template: Any):
     params = serialization.from_state_dict(params_template,
                                            state["model_state_dict"])
     opt_state = serialization.from_state_dict(opt_state_template,
@@ -62,11 +57,65 @@ def load_checkpoint(path: str, params_template: Any,
     return params, opt_state, histories
 
 
+def save_checkpoint(path: str, params: Any, opt_state: Any,
+                    histories: dict[str, list],
+                    backend: str = "msgpack") -> None:
+    """Write params + optimizer state + histories to ``path``.
+
+    ``backend="msgpack"`` writes one file (tmp + rename, atomic);
+    ``backend="orbax"`` writes an Orbax checkpoint directory (Orbax's own
+    atomic finalize), supporting sharded multi-host params.
+    """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        state = {
+            "model_state_dict": serialization.to_state_dict(params),
+            "optimizer_state_dict": serialization.to_state_dict(opt_state),
+            # orbax refuses zero-size arrays; empty histories are omitted and
+            # default back to [] on restore (_unbundle's .get)
+            **{k: np.asarray(histories[k], dtype=np.float64)
+               for k in HISTORY_KEYS if len(histories.get(k, []))},
+        }
+        abspath = os.path.abspath(path)
+        if os.path.isfile(abspath):  # switching backend over an old file
+            os.remove(abspath)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(abspath, state, force=True)
+        return
+    if backend != "msgpack":
+        raise ValueError(f"Unknown checkpoint backend: {backend}")
+    blob = serialization.msgpack_serialize(_bundle(params, opt_state, histories))
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def _read_state(path: str) -> dict:
+    """Read the raw checkpoint bundle, auto-detecting the backend."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path))
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_checkpoint(path: str, params_template: Any,
+                    opt_state_template: Any) -> tuple[Any, Any, dict[str, list]]:
+    """Restore (params, opt_state, histories) from ``path`` (either backend).
+
+    Raises on any structural mismatch — callers implement the reference's
+    degrade-to-fresh-training behaviour (reference utils/training.py:172-174).
+    """
+    return _unbundle(_read_state(path), params_template, opt_state_template)
+
+
 def load_params(path: str, params_template: Any) -> Any:
     """Restore only the model parameters (for inference/plotting,
     reference experiments/experiment_black_scholes.py:159-160)."""
-    with open(path, "rb") as f:
-        state = serialization.msgpack_restore(f.read())
+    state = _read_state(path)
     return serialization.from_state_dict(params_template,
                                          state["model_state_dict"])
 

@@ -165,7 +165,8 @@ class Trainer:
                  moment_weights: Optional[List[float]] = None,
                  variance_method: str = "direct",
                  extended_moments: bool = False,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0,
+                 checkpoint_backend: str = "msgpack"):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else make_adam(1e-3)
         self.device = device
@@ -173,6 +174,7 @@ class Trainer:
         self.moment_weights = list(moment_weights) if moment_weights else None
         self.variance_method = variance_method
         self.extended_moments = extended_moments
+        self.checkpoint_backend = checkpoint_backend
         self.mesh = mesh
         self._rng = jax.random.PRNGKey(seed)
 
@@ -618,7 +620,8 @@ class Trainer:
         }
 
     def save_model(self, path: str):
-        save_checkpoint(path, self.params, self.opt_state, self._histories())
+        save_checkpoint(path, self.params, self.opt_state, self._histories(),
+                        backend=self.checkpoint_backend)
 
     def load_model(self, path: str):
         self.params, self.opt_state, hist = load_checkpoint(
@@ -682,7 +685,9 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
                       variance_method=config.get("variance_method", "direct"),
                       extended_moments=config.get("extended_moments", False),
                       mesh=mesh,
-                      seed=config.get("seed", 0))
+                      seed=config.get("seed", 0),
+                      checkpoint_backend=config.get("checkpoint_backend",
+                                                    "msgpack"))
 
     train_data_fn, val_data_fn = create_data_loaders(
         base_seed=config.get("data_seed", 0), **config["data"])
