@@ -20,7 +20,9 @@ The two-symbol public API mirrors the reference package root
 
 from .models import NeuralJumpODE, nj_ode_loss
 from .serving import NJODEFilter
+from .generative import sample_paths
 
 __version__ = "0.1.0"
 
-__all__ = ["NeuralJumpODE", "nj_ode_loss", "NJODEFilter", "__version__"]
+__all__ = ["NeuralJumpODE", "nj_ode_loss", "NJODEFilter", "sample_paths",
+           "__version__"]
