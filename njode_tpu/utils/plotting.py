@@ -189,7 +189,8 @@ def plot_relative_loss(history_paths: List[str], labels: List[str],
     plt.xlabel("Epoch")
     plt.ylabel("Relative Loss (L_model - L_true) / L_true")
     plt.title("Relative Loss: Model vs True Conditional Expectation")
-    plt.legend()
+    if plt.gca().get_legend_handles_labels()[0]:
+        plt.legend()
     plt.grid(True, alpha=0.3)
     if save_path:
         plt.savefig(save_path, dpi=300, bbox_inches="tight")
