@@ -131,28 +131,46 @@ class NeuralJumpODE:
         # all moments, reference models/jump_ode.py:100-108)
         self.k_hidden = 1 if shared_network else num_moments
 
-        # Pallas fused Euler cell: 'auto' enables it on TPU backends for the
-        # eligible configs; 'interpret' runs the kernel in interpreter mode
-        # (for CPU tests); False disables.
-        # Default False: measured on v5e (BENCH_NOTES.md), XLA's own fusion
-        # of the scan-free forward beats the per-pallas_call overhead at the
-        # shipped model sizes (d_h <= 256) by a wide margin; the kernel
-        # remains available for experimentation and larger hidden widths.
-        from ..ops import fused_cell_available
+        # Pallas kernels (two distinct ones; measured on v5e, BENCH_NOTES.md):
+        # * gap_scan — the WHOLE ``dt_ode_step`` substep loop in one kernel
+        #   (ops/gap_scan.py): 2.7x lower latency for streaming/low-batch
+        #   inference; at large row counts or inside the training gradient,
+        #   XLA measured faster (padding waste / op overlap), so 'auto'
+        #   gates on the row count and True forces it everywhere.
+        # * fused Euler cell — ONE substep per pallas_call
+        #   (ops/fused_cell.py): measured SLOWER than XLA fusion (per-call
+        #   overhead), enabled only with use_pallas=True/'interpret'.
+        # 'interpret' runs both in interpreter mode (for CPU tests);
+        # False (default) disables both.
+        from ..ops import fused_cell_available, gap_scan_available
         self.use_pallas = use_pallas
         self._fused_eligible = fused_cell_available(
             n_hidden_layers, activation.lower(), dropout_rate)
+        self._gap_eligible = gap_scan_available(
+            n_hidden_layers, activation.lower(), dropout_rate,
+            input_scaling.lower())
 
-    def _use_fused(self) -> bool:
-        if self.use_pallas is False or not self._fused_eligible:
-            return False
-        if self.compute_dtype is not None:  # fused cell is f32-only
-            return False
+    def _pallas_on(self) -> bool:
+        if self.use_pallas is False or self.compute_dtype is not None:
+            return False  # kernels are f32-only
         if self.use_pallas == "interpret":
             return True
         import jax as _jax
         on_tpu = _jax.default_backend() in ("tpu",)
         return on_tpu if self.use_pallas == "auto" else bool(self.use_pallas)
+
+    def _use_fused(self) -> bool:
+        # the per-substep fused cell only wins when explicitly requested
+        return (self._fused_eligible and self.use_pallas not in (False, "auto")
+                and self._pallas_on())
+
+    def _use_gap_scan(self, n_rows: int) -> bool:
+        if not (self._gap_eligible and self._pallas_on()):
+            return False
+        if self.use_pallas == "auto":
+            from ..ops.gap_scan import AUTO_MAX_ROWS
+            return n_rows <= AUTO_MAX_ROWS
+        return True
 
     # ------------------------------------------------------------------ init
 
@@ -298,6 +316,14 @@ class NeuralJumpODE:
         """
         if self.dt_ode_step is None:
             return self._euler(params, h, x_last, t_last, t_target, rng)
+
+        if rng is None and self._use_gap_scan(h.shape[1]):
+            from ..ops import integrate_gap_fused
+            return integrate_gap_fused(
+                h, self._scale(x_last), t_last, t_target,
+                params["ode"]["layers"], self.dt_ode_step, self.max_substeps,
+                self.activation.lower(), self.input_scaling.lower(),
+                interpret=(self.use_pallas == "interpret"))
 
         dt = jnp.asarray(self.dt_ode_step, dtype=t_last.dtype)
 

@@ -9,6 +9,8 @@ from .fused_cell import (
     fused_euler_cell,
     ode_euler_fused,
 )
+from .gap_scan import gap_scan_available, integrate_gap_fused
 
 __all__ = ["HAS_PALLAS", "SUPPORTED_ACTS", "fused_cell_available",
-           "fused_euler_cell", "ode_euler_fused"]
+           "fused_euler_cell", "ode_euler_fused",
+           "gap_scan_available", "integrate_gap_fused"]

@@ -1,0 +1,503 @@
+"""Pallas TPU kernel: whole-gap Euler integration (the substep loop).
+
+With ``dt_ode_step`` set (the production recipes, run_*.sh: 0.01), the model
+integrates every inter-observation gap with up to ``max_substeps`` predicated
+Euler substeps (reference models/jump_ode.py:196-202).  The XLA lowering of
+that ``fori_loop`` issues several small ops PER SUBSTEP — measured ~6.8 us
+per iteration on v5e (BENCH_NOTES.md profile section) — because each
+iteration pays fixed per-op dispatch/pipeline latency on tiny (R, d_h)
+tensors.
+
+This kernel runs the ENTIRE substep loop inside one kernel body:
+
+* grid = (row_tiles,) only; the substep loop is an in-kernel
+  ``lax.fori_loop``, so there is NO per-substep grid/pipeline overhead — the
+  latent state (h, t) lives in VMEM scratch for the whole loop (a first
+  grid-over-substeps design measured ~1.7 us of fixed cost per grid step,
+  see BENCH_NOTES.md);
+* per substep: one MXU matmul for the hidden layer (the x/bias/dt features
+  are a precomputed constant ``base``; the time feature is a rank-1 VPU
+  update ``t * w1_t``), the activation, one MXU matmul for the output layer,
+  and the predicated axpy;
+* per-substep input states (needed by the backward pass) are streamed to an
+  HBM residual buffer with double-buffered async DMA that overlaps the
+  compute; the backward pass is a second kernel running the loop in REVERSE,
+  prefetching residuals and accumulating parameter cotangents in VMEM.
+
+Feature split (exact algebra of the reference ODEFunc concat,
+models/jump_ode.py:52-63, and mlp.ode_func_apply):
+
+    pre = [scale(h), scale(x), t_rel, t_el] @ W1 + b1
+        = scale(h) @ W1[:d_h]                          (per substep, MXU)
+        + t_rel * W1[d_h+d_x]                          (per substep, VPU)
+        + scale(x) @ W1[d_h:d_h+d_x] + dt * W1[d_h+d_x+1] + b1   (= base,
+          constant across substeps: x and the full-step t_el = dt are fixed
+          within a gap; computed OUTSIDE the kernel in differentiable XLA)
+
+The final partial step to exactly t_target (reference :201-202) runs outside
+in plain XLA (one step, ~10 ops) so the kernel pair only has to handle the
+uniform-dt loop.  Applicability mirrors fused_cell.py: n_hidden_layers == 1
+(2-layer ODEFunc — the reference default and every shipped config), no
+dropout, analytic-gradient activation; unsupported configs fall back to the
+pure-XLA path.
+
+t residuals are stored exactly (not recomputed as ``t0 + j*dt``): the
+forward accumulates ``t += dt`` predicated, and the backward must see the
+SAME floating-point t to reproduce each row's predicate bit-for-bit.
+
+Floating-point note: splitting the feature matmul changes summation order,
+so results match the XLA path to ~1e-5 (relative) per step (~1e-4 after 100
+compounded substeps on the MXU); the t accumulation is bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    HAS_PALLAS = False
+
+from .fused_cell import _ACT, _ACT_GRAD, SUPPORTED_ACTS, _round_up
+
+_SCALE = {
+    "identity": lambda x: x,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+_SCALE_GRAD = {
+    "identity": lambda x: 1.0,
+    "tanh": lambda x: 1.0 - jnp.tanh(x) ** 2,
+    "sigmoid": lambda x: jax.nn.sigmoid(x) * (1.0 - jax.nn.sigmoid(x)),
+}
+
+# Rows per grid step: the whole row axis when it fits the VMEM budget
+# (~6 row-tile-sized f32 buffers live at once), else split.
+MAX_ROW_TILE = 2048
+LANES = 128
+
+# 'auto' enables the kernel only in the measured latency-bound regime
+# (BENCH_NOTES.md): small row counts (streaming/online inference) win 2.7x;
+# at large R the 128-lane padding waste makes XLA's unpadded loop faster.
+AUTO_MAX_ROWS = 2048
+
+
+def _row_tile(R: int) -> int:
+    return _round_up(R, 8) if R <= MAX_ROW_TILE else MAX_ROW_TILE
+
+
+# --------------------------------------------------------------------------
+# forward kernel: grid = (row_tiles,), substeps in an in-kernel fori_loop
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
+                w2_ref, b2_ref,
+                res_ref, hout_ref, tout_ref,
+                h_s, t_s, hstage, sems,
+                *, dt: float, n_sub: int, act: str, scale: str,
+                rt: int, d_h: int):
+    r = pl.program_id(0)
+    r0 = r * rt
+    h_s[:] = h0_ref[:]
+    t_s[:] = t0_ref[:]
+    ttgt = ttgt_ref[:]
+    base = base_ref[:]
+    w1h = w1h_ref[:]
+    w1t = w1t_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    # t is packed into lane d_h of the residual tile (DMA of lane-1 buffers
+    # is not tileable on TPU); column d_h of h is identically zero (padded
+    # weights), so the packing is lossless
+    is_t = lax.broadcasted_iota(jnp.int32, h_s.shape, 1) == d_h
+
+    def res_dma(slot, j):
+        return pltpu.make_async_copy(
+            hstage.at[slot], res_ref.at[j, pl.ds(r0, rt), :], sems.at[slot])
+
+    def body(j, _):
+        slot = lax.rem(j, 2)
+        # the stage buffers are reused every 2 substeps: wait for the DMA
+        # issued at j-2 before overwriting
+        @pl.when(j >= 2)
+        def _():
+            res_dma(slot, j - 2).wait()
+        hstage[slot] = jnp.where(is_t, t_s[:], h_s[:])
+        res_dma(slot, j).start()
+
+        pred = (t_s[:] + dt) < ttgt
+        pre = jnp.dot(_SCALE[scale](h_s[:]), w1h,
+                      preferred_element_type=jnp.float32)
+        pre = pre + base + t_s[:] * w1t
+        hid = _ACT[act](pre)
+        dh = jnp.dot(hid, w2, preferred_element_type=jnp.float32) + b2
+        h_s[:] = jnp.where(pred, h_s[:] + dt * dh, h_s[:])
+        t_s[:] = jnp.where(pred, t_s[:] + dt, t_s[:])
+        return 0
+
+    lax.fori_loop(0, n_sub, body, 0)
+    # drain in-flight residual DMAs
+    for tail in range(min(2, n_sub)):
+        j = n_sub - 1 - tail
+        res_dma(j % 2, j).wait()
+
+    hout_ref[:] = h_s[:]
+    tout_ref[:] = t_s[:]
+
+
+def _fwd_kernel_lean(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
+                     w2_ref, b2_ref, hout_ref, tout_ref, h_s, t_s,
+                     *, dt: float, n_sub: int, act: str, scale: str):
+    """Primal-only forward: no residual streaming (inference/serving path —
+    the residual HBM traffic dominates when nothing will be differentiated)."""
+    h_s[:] = h0_ref[:]
+    t_s[:] = t0_ref[:]
+    ttgt = ttgt_ref[:]
+    base = base_ref[:]
+    w1h = w1h_ref[:]
+    w1t = w1t_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+
+    def body(j, _):
+        pred = (t_s[:] + dt) < ttgt
+        pre = jnp.dot(_SCALE[scale](h_s[:]), w1h,
+                      preferred_element_type=jnp.float32)
+        pre = pre + base + t_s[:] * w1t
+        hid = _ACT[act](pre)
+        dh = jnp.dot(hid, w2, preferred_element_type=jnp.float32) + b2
+        h_s[:] = jnp.where(pred, h_s[:] + dt * dh, h_s[:])
+        t_s[:] = jnp.where(pred, t_s[:] + dt, t_s[:])
+        return 0
+
+    lax.fori_loop(0, n_sub, body, 0)
+    hout_ref[:] = h_s[:]
+    tout_ref[:] = t_s[:]
+
+
+# --------------------------------------------------------------------------
+# backward kernel: reverse loop with double-buffered residual prefetch
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(ghL_ref, ttgt_ref, base_ref, w1h_ref, w1hT_ref, w1t_ref,
+                w2T_ref, res_ref,
+                gh0_ref, gpre_sum_ref, acct_ref, gdh_sum_ref,
+                dw1h_ref, dw2_ref,
+                gh_s, gpre_s, acct_s, gdh_s, dw1h_s, dw2_s,
+                hstage, sems,
+                *, dt: float, n_sub: int, act: str, scale: str, rt: int,
+                d_h: int):
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+    r0 = r * rt
+
+    gh_s[:] = ghL_ref[:]
+    gpre_s[:] = jnp.zeros_like(gpre_s)
+    acct_s[:] = jnp.zeros_like(acct_s)
+    gdh_s[:] = jnp.zeros_like(gdh_s)
+
+    @pl.when(r == 0)
+    def _():
+        dw1h_s[:] = jnp.zeros_like(dw1h_s)
+        dw2_s[:] = jnp.zeros_like(dw2_s)
+
+    ttgt = ttgt_ref[:]
+    base = base_ref[:]
+    w1h = w1h_ref[:]
+    w1hT = w1hT_ref[:]
+    w1t = w1t_ref[:]
+    w2T = w2T_ref[:]
+
+    is_t = lax.broadcasted_iota(jnp.int32, gh_s.shape, 1) == d_h
+
+    def h_dma(slot, j):
+        return pltpu.make_async_copy(
+            res_ref.at[j, pl.ds(r0, rt), :], hstage.at[slot], sems.at[slot])
+
+    # prefetch the first (last-substep) residual
+    h_dma(0, n_sub - 1).start()
+
+    def body(i, _):
+        j = n_sub - 1 - i
+        slot = lax.rem(i, 2)
+
+        # prefetch the next residual into the other slot
+        @pl.when(i + 1 < n_sub)
+        def _():
+            h_dma(1 - slot, j - 1).start()
+
+        h_dma(slot, j).wait()
+        blk = hstage[slot]
+        h_j = jnp.where(is_t, 0.0, blk)
+        t_j = jnp.sum(jnp.where(is_t, blk, 0.0), axis=1, keepdims=True)
+
+        pred = (t_j + dt) < ttgt
+        h_sc = _SCALE[scale](h_j)
+        pre = jnp.dot(h_sc, w1h, preferred_element_type=jnp.float32)
+        pre = pre + base + t_j * w1t
+        hid = _ACT[act](pre)
+
+        g_dh = jnp.where(pred, dt * gh_s[:], 0.0)
+        g_hid = jnp.dot(g_dh, w2T, preferred_element_type=jnp.float32)
+        g_pre = g_hid * _ACT_GRAD[act](pre)
+
+        dw2_s[:] += jax.lax.dot_general(
+            hid, g_dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # hid^T @ g_dh
+        dw1h_s[:] += jax.lax.dot_general(
+            h_sc, g_pre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # scale(h)^T @ g_pre
+        gpre_s[:] += g_pre
+        acct_s[:] += t_j * g_pre
+        gdh_s[:] += g_dh
+
+        g_back = jnp.dot(g_pre, w1hT, preferred_element_type=jnp.float32)
+        gh_s[:] = gh_s[:] + g_back * _SCALE_GRAD[scale](h_j)
+        return 0
+
+    lax.fori_loop(0, n_sub, body, 0)
+
+    gh0_ref[:] = gh_s[:]
+    gpre_sum_ref[:] = gpre_s[:]
+    acct_ref[:] = acct_s[:]
+    gdh_sum_ref[:] = gdh_s[:]
+
+    @pl.when(r == n_r - 1)
+    def _():
+        dw1h_ref[:] = dw1h_s[:]
+        dw2_ref[:] = dw2_s[:]
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers (padded shapes)
+# --------------------------------------------------------------------------
+
+def _pad_rows(x, R):
+    return jnp.pad(x, ((0, R - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _forward_call(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+                  d_h, dt, n_sub, act, scale, interpret):
+    R, Dh_p = h0.shape
+    RT = _row_tile(R)
+    n_r = R // RT
+    row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    res, hL, tL = pl.pallas_call(
+        functools.partial(_fwd_kernel, dt=dt, n_sub=n_sub, act=act,
+                          scale=scale, rt=RT, d_h=d_h),
+        grid=(n_r,),
+        in_specs=[row(Dh_p), row(1), row(1), row(Dh_p),
+                  full((Dh_p, Dh_p)), full((1, Dh_p)),
+                  full((Dh_p, Dh_p)), full((1, Dh_p))],
+        out_specs=[hbm, row(Dh_p), row(1)],
+        out_shape=[jax.ShapeDtypeStruct((n_sub, R, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),
+                        pltpu.VMEM((RT, 1), jnp.float32),
+                        pltpu.VMEM((2, RT, Dh_p), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row)
+    return res, hL, tL
+
+
+def _forward_call_lean(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+                       dt, n_sub, act, scale, interpret):
+    R, Dh_p = h0.shape
+    RT = _row_tile(R)
+    n_r = R // RT
+    row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+    hL, tL = pl.pallas_call(
+        functools.partial(_fwd_kernel_lean, dt=dt, n_sub=n_sub, act=act,
+                          scale=scale),
+        grid=(n_r,),
+        in_specs=[row(Dh_p), row(1), row(1), row(Dh_p),
+                  full((Dh_p, Dh_p)), full((1, Dh_p)),
+                  full((Dh_p, Dh_p)), full((1, Dh_p))],
+        out_specs=[row(Dh_p), row(1)],
+        out_shape=[jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),
+                        pltpu.VMEM((RT, 1), jnp.float32)],
+        interpret=interpret,
+    )(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row)
+    return hL, tL
+
+
+def _backward_call(ghL, res, ttgt_col, base, w1h, w1t_row, w2,
+                   d_h, dt, n_sub, act, scale, interpret):
+    R, Dh_p = ghL.shape
+    RT = _row_tile(R)
+    n_r = R // RT
+    row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, dt=dt, n_sub=n_sub, act=act,
+                          scale=scale, rt=RT, d_h=d_h),
+        grid=(n_r,),
+        in_specs=[row(Dh_p), row(1), row(Dh_p),
+                  full((Dh_p, Dh_p)), full((Dh_p, Dh_p)), full((1, Dh_p)),
+                  full((Dh_p, Dh_p)),
+                  hbm],
+        out_specs=[row(Dh_p), row(Dh_p), row(Dh_p), row(Dh_p),
+                   full((Dh_p, Dh_p)), full((Dh_p, Dh_p))],
+        out_shape=[jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_h0
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_pre_sum
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # acc_t
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_dh_sum
+                   jax.ShapeDtypeStruct((Dh_p, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((Dh_p, Dh_p), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),   # gh_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # gpre_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # acct_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # gdh_s
+                        pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
+                        pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
+                        pltpu.VMEM((2, RT, Dh_p), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(ghL, ttgt_col, base, w1h, jnp.swapaxes(w1h, 0, 1), w1t_row,
+      jnp.swapaxes(w2, 0, 1), res)
+    return outs
+
+
+# --------------------------------------------------------------------------
+# custom-vjp op (padded logical arrays)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _gap_scan(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+              d_h, dt, n_sub, act, scale, interpret):
+    """Predicated Euler substep loop, fused.  Returns (h_L, t_L).
+
+    All arrays pre-padded: rows R multiple of the row tile, lanes Dh_p
+    multiple of 128 with Dh_p > d_h (a spare lane carries the packed t
+    residual; padded weight rows/cols are zero, so padding is inert).
+    """
+    return _forward_call_lean(h0, t0_col, ttgt_col, base, w1h, w1t_row,
+                              w2, b2_row, dt, n_sub, act, scale, interpret)
+
+
+def _gap_scan_fwd(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+                  d_h, dt, n_sub, act, scale, interpret):
+    res, hL, tL = _forward_call(h0, t0_col, ttgt_col, base, w1h,
+                                w1t_row, w2, b2_row, d_h, dt, n_sub, act,
+                                scale, interpret)
+    return (hL, tL), (res, ttgt_col, base, w1h, w1t_row, w2)
+
+
+def _gap_scan_bwd(d_h, dt, n_sub, act, scale, interpret, resids, g):
+    ghL, _gtL = g  # t_L cotangent: times are data, no parameter path
+    res, ttgt_col, base, w1h, w1t_row, w2 = resids
+    gh0, gpre_sum, acc_t, gdh_sum, dw1h, dw2 = _backward_call(
+        ghL, res, ttgt_col, base, w1h, w1t_row, w2,
+        d_h, dt, n_sub, act, scale, interpret)
+    g_base = gpre_sum
+    g_w1t = jnp.sum(acc_t, axis=0, keepdims=True)          # (1, Dh_p)
+    g_b2 = jnp.sum(gdh_sum, axis=0, keepdims=True)         # (1, Dh_p)
+    zeros_t = jnp.zeros_like(ttgt_col)
+    return (gh0, zeros_t, zeros_t, g_base, dw1h, g_w1t, dw2, g_b2)
+
+
+_gap_scan.defvjp(_gap_scan_fwd, _gap_scan_bwd)
+
+
+# --------------------------------------------------------------------------
+# model-facing wrapper
+# --------------------------------------------------------------------------
+
+def gap_scan_available(n_hidden_layers: int, activation: str,
+                       dropout_rate: float, input_scaling: str) -> bool:
+    return (HAS_PALLAS and n_hidden_layers == 1 and dropout_rate == 0.0
+            and activation in SUPPORTED_ACTS and input_scaling in _SCALE)
+
+
+def integrate_gap_fused(h, x_scaled, t_last, t_target, ode_layers,
+                        dt_ode_step: float, max_substeps: int,
+                        act_name: str, scale_name: str,
+                        interpret: bool = False):
+    """Fused whole-gap integration for all K_h moment networks.
+
+    Semantics identical to NeuralJumpODE._integrate_gap with fixed
+    ``dt_ode_step`` (full predicated substeps in the kernel, the final
+    partial step in differentiable XLA outside).
+
+    Args:
+      h:        (K_h, R, d_h) jump states (one gap per row).
+      x_scaled: (R, d_x) input-scaled last observations.
+      t_last/t_target: (R,) gap boundaries.
+      ode_layers: the 2 ODEFunc layer dicts (leading K_h axis when stacked).
+
+    Returns: (K_h, R, d_h) latent states at t_target.
+    """
+    K_h, R, d_h = h.shape
+    d_x = x_scaled.shape[-1]
+    dt = float(dt_ode_step)
+    n_sub = int(max_substeps)
+    # one spare lane carries the packed t residual -> need Dh_p > d_h
+    Dh_p = _round_up(d_h + 1, LANES)
+    R_p = _round_up(R, _row_tile(R))
+    scale_fn = _SCALE[scale_name]
+
+    t0_col = _pad_rows(t_last.astype(jnp.float32)[:, None], R_p)
+    # padded rows: t_tgt = 0 <= t0 = 0 -> pred false -> inert
+    ttgt_col = _pad_rows(t_target.astype(jnp.float32)[:, None], R_p)
+
+    def layer_k(i, k):
+        lw, lb = ode_layers[i]["w"], ode_layers[i]["b"]
+        return (lw[k], lb[k]) if lw.ndim == 3 else (lw, lb)
+
+    outs = []
+    for k in range(K_h):
+        w1, b1 = layer_k(0, k)
+        w2, b2 = layer_k(1, k)
+        w1h = w1[:d_h]
+        w1x = w1[d_h:d_h + d_x]
+        w1t = w1[d_h + d_x]
+        w1dt = w1[d_h + d_x + 1]
+        # constant-across-substeps part of the pre-activation (differentiable
+        # XLA: cotangent g_base flows to x/W1_x/w1_dt/b1 automatically)
+        base = x_scaled @ w1x + dt * w1dt + b1               # (R, d_h)
+        base_p = _pad_rows(jnp.pad(base, ((0, 0), (0, Dh_p - d_h))), R_p)
+        h0_p = _pad_rows(jnp.pad(h[k], ((0, 0), (0, Dh_p - d_h))), R_p)
+        w1h_p = jnp.pad(w1h, ((0, Dh_p - d_h), (0, Dh_p - d_h)))
+        w1t_p = jnp.pad(w1t, (0, Dh_p - d_h)).reshape(1, Dh_p)
+        w2_p = jnp.pad(w2, ((0, Dh_p - d_h), (0, Dh_p - d_h)))
+        b2_p = jnp.pad(b2, (0, Dh_p - d_h)).reshape(1, Dh_p)
+
+        hL_p, tL_p = _gap_scan(h0_p, t0_col, ttgt_col, base_p, w1h_p, w1t_p,
+                               w2_p, b2_p, d_h, dt, n_sub, act_name,
+                               scale_name, interpret)
+        hL = hL_p[:R, :d_h]
+        tL = tL_p[:R, 0]
+
+        # final partial step to exactly t_target (reference :201-202),
+        # plain XLA, differentiable
+        pred2 = tL < t_target
+        t_el = t_target - tL
+        inp = jnp.concatenate(
+            [scale_fn(hL), x_scaled,
+             tL[:, None], t_el[:, None]], axis=-1)
+        pre = inp @ w1 + b1
+        dh = _ACT[act_name](pre) @ w2 + b2
+        h_fin = hL + t_el[:, None] * dh
+        outs.append(jnp.where(pred2[:, None], h_fin, hL))
+    return jnp.stack(outs, axis=0)

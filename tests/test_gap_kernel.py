@@ -1,0 +1,147 @@
+"""Whole-gap Pallas kernel (ops/gap_scan.py) — interpret mode on CPU.
+
+The kernel fuses the entire ``dt_ode_step`` substep loop (reference
+models/jump_ode.py:196-202) into one pallas_call with a custom VJP; these
+tests pin forward and full-gradient equality against the pure-XLA
+``_integrate_gap`` path, through both the raw op and the model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from njode_tpu import NeuralJumpODE
+from njode_tpu.models import nj_ode_loss_dense
+from njode_tpu.ops import HAS_PALLAS, gap_scan_available, integrate_gap_fused
+from njode_tpu.simulation import simulate_batch
+
+pytestmark = pytest.mark.skipif(not HAS_PALLAS, reason="pallas unavailable")
+
+
+def test_eligibility_gate():
+    assert gap_scan_available(1, "relu", 0.0, "identity")
+    assert gap_scan_available(1, "tanh", 0.0, "tanh")
+    assert not gap_scan_available(2, "relu", 0.0, "identity")  # deep ODEFunc
+    assert not gap_scan_available(1, "selu", 0.0, "identity")  # no analytic grad
+    assert not gap_scan_available(1, "relu", 0.1, "identity")  # dropout
+
+
+def _models(activation="relu", scaling="identity", shared=False, K=2):
+    kw = dict(input_dim=1, hidden_dim=24, output_dim=1, num_moments=K,
+              activation=activation, input_scaling=scaling,
+              shared_network=shared, dt_ode_step=0.03, t_max=1.0)
+    return (NeuralJumpODE(use_pallas=False, **kw),
+            NeuralJumpODE(use_pallas="interpret", **kw))
+
+
+@pytest.mark.parametrize("activation,scaling,shared", [
+    ("relu", "identity", False),
+    ("tanh", "tanh", False),
+    ("sigmoid", "sigmoid", True),
+])
+def test_gap_kernel_matches_xla_apply(activation, scaling, shared):
+    ref, fused = _models(activation, scaling, shared)
+    assert fused._use_gap_scan(64)
+    params = ref.init(jax.random.PRNGKey(0))
+    batch = simulate_batch(jax.random.PRNGKey(1), 6, "black_scholes", 0.1,
+                           n_steps=20)
+    p1, pb1 = ref.apply(params, batch.times, batch.values, batch.mask)
+    p2, pb2 = fused.apply(params, batch.times, batch.values, batch.mask)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pb1), np.asarray(pb2), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_gap_kernel_matches_xla_gradient():
+    ref, fused = _models("tanh", "identity")
+    params = ref.init(jax.random.PRNGKey(0))
+    batch = simulate_batch(jax.random.PRNGKey(1), 6, "black_scholes", 0.1,
+                           n_steps=20)
+
+    def loss(model):
+        def f(p):
+            preds, before = model.apply(p, batch.times, batch.values,
+                                        batch.mask)
+            return nj_ode_loss_dense(batch.values, preds, before, batch.mask,
+                                     moment_weights=(1.0, 10.0))
+        return f
+
+    g1 = jax.grad(loss(ref))(params)
+    g2 = jax.grad(loss(fused))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3
+
+
+def test_gap_kernel_training_step_converges():
+    """One Adam step pipeline through the kernel trains like XLA."""
+    _, fused = _models("relu")
+    params = fused.init(jax.random.PRNGKey(0))
+    batch = simulate_batch(jax.random.PRNGKey(1), 16, "black_scholes", 0.1,
+                           n_steps=20)
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    def step(p, s):
+        def f(p):
+            preds, before = fused.apply(p, batch.times, batch.values,
+                                        batch.mask)
+            return nj_ode_loss_dense(batch.values, preds, before, batch.mask,
+                                     moment_weights=(1.0, 10.0))
+        l, g = jax.value_and_grad(f)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    l0 = None
+    for _ in range(15):
+        params, state, l = step(params, state)
+        l0 = float(l) if l0 is None else l0
+    assert float(l) < l0
+
+
+def test_gap_kernel_zero_and_partial_gaps():
+    """Zero-length gaps (padding) are inert; partial final steps match XLA."""
+    rng = np.random.default_rng(3)
+    K_h, R, d_h, d_x = 1, 12, 10, 1
+    d_in = d_h + d_x + 2
+    h = jnp.asarray(rng.normal(size=(K_h, R, d_h)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(R, d_x)), jnp.float32)
+    t0 = jnp.zeros((R,), jnp.float32)
+    # gaps: 0 (inert), < dt (final-partial only), exact multiples, odd sizes
+    gaps = jnp.asarray([0.0, 0.005, 0.03, 0.033, 0.06, 0.1, 0.0, 0.07,
+                        0.015, 0.045, 0.09, 0.099], jnp.float32)
+    layers = [
+        {"w": jnp.asarray(rng.normal(size=(d_in, d_h)) * 0.3, jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(d_h,)) * 0.1, jnp.float32)},
+        {"w": jnp.asarray(rng.normal(size=(d_h, d_h)) * 0.3, jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(d_h,)) * 0.1, jnp.float32)},
+    ]
+    out = integrate_gap_fused(h, x, t0, t0 + gaps, layers, 0.03, 5,
+                              "relu", "identity", interpret=True)
+    # zero-gap rows unchanged
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(h[0, 0]))
+    np.testing.assert_array_equal(np.asarray(out[0, 6]), np.asarray(h[0, 6]))
+
+    # XLA reference via the model's own integrate (build a tiny model around
+    # the same weights): replicate with explicit loop in numpy-free jax
+    model = NeuralJumpODE(input_dim=1, hidden_dim=d_h, output_dim=1,
+                          num_moments=1, dt_ode_step=0.03, max_substeps=5,
+                          use_pallas=False)
+    # separate-moment params carry a leading K axis (K=1 here)
+    params = {"ode": {"layers": [{"w": l["w"][None], "b": l["b"][None]}
+                                 for l in layers]}}
+    ref = model._integrate_gap(params, h, x, t0, t0 + gaps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_auto_mode_stays_off_cpu():
+    """use_pallas='auto' must not enable kernels on the CPU backend."""
+    m = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
+                      dt_ode_step=0.05, use_pallas="auto")
+    assert not m._use_gap_scan(64)
+    assert not m._use_fused()
