@@ -96,6 +96,11 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Model-init / shuffle seed')
     parser.add_argument('--data-seed', type=int, default=0,
                         help='Data-generation seed')
+    parser.add_argument('--ode-solver', type=str, default='euler',
+                        choices=['euler', 'heun', 'rk4'],
+                        help='Latent-ODE integrator (euler = reference '
+                             'semantics; heun/rk4 = higher-order accuracy '
+                             'per substep)')
     parser.add_argument('--compute-dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='Mixed-precision matmul dtype (params stay '
@@ -125,6 +130,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "input_scaling": args.input_scaling,
         "variance_method": args.variance_method,
         "dt_ode_step": args.dt_ode_step,
+        "ode_solver": args.ode_solver,
         "learning_rate": args.learning_rate,
         "weight_decay": args.weight_decay,
         "n_epochs": args.n_epochs,

@@ -62,6 +62,10 @@ def _stack_trees(trees: Sequence[Params]) -> Params:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
+def _split_opt_rng(rng: Optional[jax.Array], n: int):
+    return [None] * n if rng is None else list(jax.random.split(rng, n))
+
+
 class NeuralJumpODE:
     """Pure-functional Neural Jump ODE.
 
@@ -91,7 +95,8 @@ class NeuralJumpODE:
                  dropout_rate: float = 0.0, input_scaling: str = "identity",
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
-                 use_pallas=False, dtype=jnp.float32, compute_dtype=None):
+                 use_pallas=False, dtype=jnp.float32, compute_dtype=None,
+                 ode_solver: str = "euler"):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -114,6 +119,11 @@ class NeuralJumpODE:
                 raise ValueError(f"Unknown compute_dtype: {compute_dtype}")
             compute_dtype = _named[compute_dtype.lower()]
         self.compute_dtype = compute_dtype
+
+        if ode_solver not in ("euler", "heun", "rk4"):
+            raise ValueError(f"Unknown ode_solver: {ode_solver!r} "
+                             "(one of 'euler', 'heun', 'rk4')")
+        self.ode_solver = ode_solver
 
         self._act = get_activation(activation)
         self._scale = get_input_scaling(input_scaling)
@@ -144,9 +154,10 @@ class NeuralJumpODE:
         # False (default) disables both.
         from ..ops import fused_cell_available, gap_scan_available
         self.use_pallas = use_pallas
-        self._fused_eligible = fused_cell_available(
+        # both kernels implement the (reference-exact) Euler step only
+        self._fused_eligible = (ode_solver == "euler") and fused_cell_available(
             n_hidden_layers, activation.lower(), dropout_rate)
-        self._gap_eligible = gap_scan_available(
+        self._gap_eligible = (ode_solver == "euler") and gap_scan_available(
             n_hidden_layers, activation.lower(), dropout_rate,
             input_scaling.lower())
 
@@ -292,15 +303,45 @@ class NeuralJumpODE:
     def _euler(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
                t_cur: jnp.ndarray, t_new: jnp.ndarray,
                rng: Optional[jax.Array] = None) -> jnp.ndarray:
-        """One Euler step h += (t_new - t_cur) * f(...) (reference :122-140)."""
-        if rng is None and self._use_fused():
+        """One solver step from t_cur to t_new.
+
+        ``ode_solver='euler'`` (default) is exactly the reference's step
+        ``h += (t_new - t_cur) * f(...)`` (reference :122-140).  'heun' and
+        'rk4' are fixed-step higher-order extensions (no reference
+        analogue).  Their stages evaluate the ODEFunc with ``t_rel = stage
+        time`` and ``t_elapsed = 0``: the reference feeds the step size in
+        as the ``t_elapsed`` feature (reference :59-61), which makes the
+        drift depend on the discretization — the well-defined underlying
+        ODE (and the only one a higher-order method can converge to at its
+        nominal order) is its ``t_elapsed -> 0`` limit.
+        """
+        if self.ode_solver == "euler" and rng is None and self._use_fused():
             from ..ops import ode_euler_fused
             return ode_euler_fused(
                 h, self._scale(x_last), self._scale(h), t_cur, t_new,
                 params["ode"]["layers"], self.activation.lower(),
                 interpret=(self.use_pallas == "interpret"))
-        dh = self._ode(params, h, x_last, t_cur, t_new, rng)
-        return h + (t_new - t_cur)[None, :, None] * dh
+        dt = (t_new - t_cur)[None, :, None]
+        if self.ode_solver == "euler":
+            # reference features: t_rel = t_cur, t_el = t_new - t_cur
+            return h + dt * self._ode(params, h, x_last, t_cur, t_new, rng)
+
+        def f(hh, t_stage, r):
+            # t_rel = stage time, t_el = t_stage - t_stage = 0
+            return self._ode(params, hh, x_last, t_stage, t_stage, r)
+        rngs = _split_opt_rng(rng, 4)
+        if self.ode_solver == "heun":
+            k1 = f(h, t_cur, rngs[0])
+            k2 = f(h + dt * k1, t_new, rngs[1])
+            return h + dt * 0.5 * (k1 + k2)
+        if self.ode_solver == "rk4":
+            t_mid = t_cur + 0.5 * (t_new - t_cur)
+            k1 = f(h, t_cur, rngs[0])
+            k2 = f(h + 0.5 * dt * k1, t_mid, rngs[1])
+            k3 = f(h + 0.5 * dt * k2, t_mid, rngs[2])
+            k4 = f(h + dt * k3, t_new, rngs[3])
+            return h + dt / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        raise ValueError(f"Unknown ode_solver: {self.ode_solver}")
 
     def _integrate_gap(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
                        t_last: jnp.ndarray, t_target: jnp.ndarray,

@@ -675,6 +675,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         variance_method=config.get("variance_method", "direct"),
         t_max=config.get("data", {}).get("T", 1.0),
         compute_dtype=config.get("compute_dtype"),
+        ode_solver=config.get("ode_solver", "euler"),
     )
 
     optimizer = make_adam(config["learning_rate"], config["weight_decay"])
