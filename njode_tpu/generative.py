@@ -128,7 +128,8 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
     def one_step(x_cur, t_cur, t_next, k):
         """Advance every path one grid cell: jump, integrate, read out, draw."""
         h = model._jump(params, x_cur)                     # (K_h, B, d_h)
-        h = model._integrate_gap(params, h, x_cur, t_cur, t_next)
+        h = model._integrate_gap(params, h, x_cur, t_cur, t_next,
+                                 inference=True)
         raw = model._readout(params, h)                    # (B, d_y, K)
         mean = raw[..., 0]
         var = (_variance_from_raw(model, raw) if model.num_moments > 1

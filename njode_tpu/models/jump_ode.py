@@ -175,12 +175,15 @@ class NeuralJumpODE:
         return (self._fused_eligible and self.use_pallas not in (False, "auto")
                 and self._pallas_on())
 
-    def _use_gap_scan(self, n_rows: int) -> bool:
+    def _use_gap_scan(self, n_rows: int, inference: bool = False) -> bool:
         if not (self._gap_eligible and self._pallas_on()):
             return False
         if self.use_pallas == "auto":
+            # measured policy (BENCH_NOTES.md): the kernel wins only where
+            # latency is the metric — inference at modest row counts; the
+            # training step and large-R batches measured faster on XLA
             from ..ops.gap_scan import AUTO_MAX_ROWS
-            return n_rows <= AUTO_MAX_ROWS
+            return inference and n_rows <= AUTO_MAX_ROWS
         return True
 
     # ------------------------------------------------------------------ init
@@ -345,7 +348,8 @@ class NeuralJumpODE:
 
     def _integrate_gap(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
                        t_last: jnp.ndarray, t_target: jnp.ndarray,
-                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                       rng: Optional[jax.Array] = None,
+                       inference: bool = False) -> jnp.ndarray:
         """Integrate the latent state across an inter-observation gap.
 
         Reproduces reference forward_single's gap handling (models/jump_ode.py:185-203):
@@ -358,7 +362,7 @@ class NeuralJumpODE:
         if self.dt_ode_step is None:
             return self._euler(params, h, x_last, t_last, t_target, rng)
 
-        if rng is None and self._use_gap_scan(h.shape[1]):
+        if rng is None and self._use_gap_scan(h.shape[1], inference):
             from ..ops import integrate_gap_fused
             return integrate_gap_fused(
                 h, self._scale(x_last), t_last, t_target,
@@ -583,7 +587,8 @@ class NeuralJumpODE:
         q_flat = query_times.reshape(B * Q)
 
         h = self._jump(params, x_flat)                        # (K_h, B*Q, d_h)
-        h = self._integrate_gap(params, h, x_flat, t_flat, q_flat)
+        h = self._integrate_gap(params, h, x_flat, t_flat, q_flat,
+                                inference=True)
         y = self._readout(params, h)                          # (B*Q, d_y, K)
         raw = y.reshape(B, Q, self.output_dim, self.num_moments)
 

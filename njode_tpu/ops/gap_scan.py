@@ -78,9 +78,6 @@ _SCALE_GRAD = {
     "sigmoid": lambda x: jax.nn.sigmoid(x) * (1.0 - jax.nn.sigmoid(x)),
 }
 
-# Rows per grid step: the whole row axis when it fits the VMEM budget
-# (~6 row-tile-sized f32 buffers live at once), else split.
-MAX_ROW_TILE = 2048
 LANES = 128
 
 # 'auto' enables the kernel only in the measured latency-bound regime
@@ -89,8 +86,32 @@ LANES = 128
 AUTO_MAX_ROWS = 2048
 
 
-def _row_tile(R: int) -> int:
-    return _round_up(R, 8) if R <= MAX_ROW_TILE else MAX_ROW_TILE
+# VMEM budget for the row-tile-sized f32 buffers.  The backward kernel is
+# the hungriest: 2*CHUNK ring slots + 4 accumulators + 4 out blocks +
+# ~4 in blocks of (RT, Dh_p) f32 each (~16 buffers); budget 12 MB of the
+# ~16 MB VMEM leaves room for weights and compiler temporaries.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_BUFFERS = 16
+
+
+def _row_tile(R: int, dh_p: int) -> int:
+    """Largest tile within the VMEM budget, as an even split of R
+    (minimizes grid steps AND padded-row waste; e.g. R=1152 at Dh_p=128
+    stays a single 1152-row tile, R=8192 splits into 8x1024)."""
+    max_rt = max(8, (_VMEM_BUDGET_BYTES // (_BUFFERS * dh_p * 4)) // 8 * 8)
+    if R <= max_rt:
+        return _round_up(R, 8)
+    n_tiles = -(-R // max_rt)
+    return _round_up(-(-R // n_tiles), 8)
+
+
+# residual substeps batched per DMA: cuts the per-substep DMA start/wait
+# overhead (~0.4 us each, measured) by CHUNK
+CHUNK = 4
+
+
+def _n_sub_padded(n_sub: int) -> int:
+    return _round_up(n_sub, CHUNK)
 
 
 # --------------------------------------------------------------------------
@@ -117,20 +138,29 @@ def _fwd_kernel(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
     # is not tileable on TPU); column d_h of h is identically zero (padded
     # weights), so the packing is lossless
     is_t = lax.broadcasted_iota(jnp.int32, h_s.shape, 1) == d_h
+    K = -(-n_sub // CHUNK)  # number of residual chunks
 
-    def res_dma(slot, j):
+    def chunk_dma(slot, k):
+        # one DMA per CHUNK substeps: ring slot -> residual chunk k
         return pltpu.make_async_copy(
-            hstage.at[slot], res_ref.at[j, pl.ds(r0, rt), :], sems.at[slot])
+            hstage.at[slot],
+            res_ref.at[pl.ds(k * CHUNK, CHUNK), pl.ds(r0, rt), :],
+            sems.at[slot])
 
     def body(j, _):
-        slot = lax.rem(j, 2)
-        # the stage buffers are reused every 2 substeps: wait for the DMA
-        # issued at j-2 before overwriting
-        @pl.when(j >= 2)
+        k = j // CHUNK
+        pos = lax.rem(j, CHUNK)
+        slot = lax.rem(k, 2)
+        # ring slot is reused every 2 chunks: wait for the DMA issued for
+        # chunk k-2 before overwriting its first position
+        @pl.when(jnp.logical_and(pos == 0, j >= 2 * CHUNK))
         def _():
-            res_dma(slot, j - 2).wait()
-        hstage[slot] = jnp.where(is_t, t_s[:], h_s[:])
-        res_dma(slot, j).start()
+            chunk_dma(slot, k - 2).wait()
+        hstage[slot, pos] = jnp.where(is_t, t_s[:], h_s[:])
+
+        @pl.when(pos == CHUNK - 1)
+        def _():
+            chunk_dma(slot, k).start()
 
         pred = (t_s[:] + dt) < ttgt
         pre = jnp.dot(_SCALE[scale](h_s[:]), w1h,
@@ -143,10 +173,13 @@ def _fwd_kernel(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
         return 0
 
     lax.fori_loop(0, n_sub, body, 0)
-    # drain in-flight residual DMAs
-    for tail in range(min(2, n_sub)):
-        j = n_sub - 1 - tail
-        res_dma(j % 2, j).wait()
+    # flush the partial tail chunk (unused ring positions carry garbage into
+    # the padded residual slots, which the backward never reads)
+    if n_sub % CHUNK:
+        chunk_dma((K - 1) % 2, K - 1).start()
+    # drain in-flight chunk DMAs
+    for kk in range(max(0, K - 2), K):
+        chunk_dma(kk % 2, kk).wait()
 
     hout_ref[:] = h_s[:]
     tout_ref[:] = t_s[:]
@@ -216,25 +249,34 @@ def _bwd_kernel(ghL_ref, ttgt_ref, base_ref, w1h_ref, w1hT_ref, w1t_ref,
     w2T = w2T_ref[:]
 
     is_t = lax.broadcasted_iota(jnp.int32, gh_s.shape, 1) == d_h
+    K = -(-n_sub // CHUNK)
 
-    def h_dma(slot, j):
+    def chunk_dma(slot, k):
         return pltpu.make_async_copy(
-            res_ref.at[j, pl.ds(r0, rt), :], hstage.at[slot], sems.at[slot])
+            res_ref.at[pl.ds(k * CHUNK, CHUNK), pl.ds(r0, rt), :],
+            hstage.at[slot], sems.at[slot])
 
-    # prefetch the first (last-substep) residual
-    h_dma(0, n_sub - 1).start()
+    # prefetch the last chunk (processed first)
+    chunk_dma((K - 1) % 2, K - 1).start()
 
     def body(i, _):
         j = n_sub - 1 - i
-        slot = lax.rem(i, 2)
+        k = j // CHUNK
+        pos = lax.rem(j, CHUNK)
+        slot = lax.rem(k, 2)
 
-        # prefetch the next residual into the other slot
-        @pl.when(i + 1 < n_sub)
+        # on entering a chunk: wait for its DMA, prefetch the next-older one
+        first_of_chunk = jnp.logical_or(pos == CHUNK - 1, i == 0)
+
+        @pl.when(first_of_chunk)
         def _():
-            h_dma(1 - slot, j - 1).start()
+            chunk_dma(slot, k).wait()
 
-        h_dma(slot, j).wait()
-        blk = hstage[slot]
+            @pl.when(k >= 1)
+            def _():
+                chunk_dma(1 - slot, k - 1).start()
+
+        blk = hstage[slot, pos]
         h_j = jnp.where(is_t, 0.0, blk)
         t_j = jnp.sum(jnp.where(is_t, blk, 0.0), axis=1, keepdims=True)
 
@@ -286,7 +328,7 @@ def _pad_rows(x, R):
 def _forward_call(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
                   d_h, dt, n_sub, act, scale, interpret):
     R, Dh_p = h0.shape
-    RT = _row_tile(R)
+    RT = _row_tile(R, Dh_p)
     n_r = R // RT
     row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
                                  memory_space=pltpu.VMEM)
@@ -301,12 +343,13 @@ def _forward_call(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
                   full((Dh_p, Dh_p)), full((1, Dh_p)),
                   full((Dh_p, Dh_p)), full((1, Dh_p))],
         out_specs=[hbm, row(Dh_p), row(1)],
-        out_shape=[jax.ShapeDtypeStruct((n_sub, R, Dh_p), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((_n_sub_padded(n_sub), R, Dh_p),
+                                        jnp.float32),
                    jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),
                    jax.ShapeDtypeStruct((R, 1), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),
                         pltpu.VMEM((RT, 1), jnp.float32),
-                        pltpu.VMEM((2, RT, Dh_p), jnp.float32),
+                        pltpu.VMEM((2, CHUNK, RT, Dh_p), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row)
@@ -316,7 +359,7 @@ def _forward_call(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
 def _forward_call_lean(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
                        dt, n_sub, act, scale, interpret):
     R, Dh_p = h0.shape
-    RT = _row_tile(R)
+    RT = _row_tile(R, Dh_p)
     n_r = R // RT
     row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
                                  memory_space=pltpu.VMEM)
@@ -342,7 +385,7 @@ def _forward_call_lean(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
 def _backward_call(ghL, res, ttgt_col, base, w1h, w1t_row, w2,
                    d_h, dt, n_sub, act, scale, interpret):
     R, Dh_p = ghL.shape
-    RT = _row_tile(R)
+    RT = _row_tile(R, Dh_p)
     n_r = R // RT
     row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
                                  memory_space=pltpu.VMEM)
@@ -371,7 +414,7 @@ def _backward_call(ghL, res, ttgt_col, base, w1h, w1t_row, w2,
                         pltpu.VMEM((RT, Dh_p), jnp.float32),   # gdh_s
                         pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
                         pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
-                        pltpu.VMEM((2, RT, Dh_p), jnp.float32),
+                        pltpu.VMEM((2, CHUNK, RT, Dh_p), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(ghL, ttgt_col, base, w1h, jnp.swapaxes(w1h, 0, 1), w1t_row,
@@ -454,7 +497,7 @@ def integrate_gap_fused(h, x_scaled, t_last, t_target, ode_layers,
     n_sub = int(max_substeps)
     # one spare lane carries the packed t residual -> need Dh_p > d_h
     Dh_p = _round_up(d_h + 1, LANES)
-    R_p = _round_up(R, _row_tile(R))
+    R_p = _round_up(R, _row_tile(R, Dh_p))
     scale_fn = _SCALE[scale_name]
 
     t0_col = _pad_rows(t_last.astype(jnp.float32)[:, None], R_p)

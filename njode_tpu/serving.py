@@ -86,7 +86,7 @@ class NJODEFilter:
         m = self.model
         t_query = jnp.broadcast_to(t_query, state.t_last.shape).astype(m.dtype)
         h = m._integrate_gap(params, state.h, state.x_last, state.t_last,
-                             t_query)
+                             t_query, inference=True)
         y = m._readout(params, h)                      # (B, d_y, K)
         y = jnp.where(state.seen[:, None, None], y, 0.0)
         mean = y[..., 0]
