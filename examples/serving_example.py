@@ -52,6 +52,9 @@ def main():
     print(f"trained: loss {float(loss):.4f}")
 
     # ---- online filtering: one stream of irregular observations ----
+    # tip: for models with dt_ode_step set, construct the serving model
+    # with use_pallas="auto" — on TPU the fused whole-gap kernel cuts
+    # streaming predict latency 3.4x (BENCH_NOTES.md)
     f = NJODEFilter(model, params)
     state = f.init_state(n_streams=1)
     observations = [(0.00, 1.00), (0.12, 1.08), (0.31, 0.97), (0.55, 1.15)]
