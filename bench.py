@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--scaled", action="store_true",
                     help="scaled sweep config: 100k trajectories, "
                          "obs_fraction=0.02, hidden_dim=256")
+    ap.add_argument("--ode-solver", type=str, default="euler",
+                    choices=["euler", "heun", "rk4"],
+                    help="latent-ODE integrator")
     ap.add_argument("--compute-dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="mixed-precision matmul dtype (params stay f32); "
@@ -123,7 +126,8 @@ def main():
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
                           use_pallas="auto" if args.pallas else False,
-                          compute_dtype=args.compute_dtype)
+                          compute_dtype=args.compute_dtype,
+                          ode_solver=args.ode_solver)
     tx = make_adam(1e-3, 5e-4)
 
     n, bs, E = args.n_train, args.batch_size, args.n_epochs
