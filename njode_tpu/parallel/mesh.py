@@ -6,11 +6,14 @@ independent SLURM jobs).  These are the TPU-native first-class equivalents:
 
 * ``make_mesh``          — a ('data', 'model') mesh over ICI.
 * ``make_batch_sharder`` — shard the trajectory axis over 'data' (DP).
-* ``shard_params``       — replicate params, or shard the stacked moment
-  axis of separate-network params over 'model' (the K per-moment networks
-  are independent experts, so this is genuine expert parallelism for the
-  NJ-ODE architecture); TP over the hidden axis is intentionally out of
-  scope for these 32–256-wide MLPs (SURVEY.md §2b row P2).
+* ``shard_params``       — replicate params, or shard over 'model' either
+  the stacked moment axis of separate-network params (the K per-moment
+  networks are independent experts — genuine expert parallelism for the
+  NJ-ODE architecture) or the hidden feature axis of the MLP weights
+  (tensor parallelism: XLA/GSPMD partitions every matmul column-wise and
+  inserts the collectives).  TP only pays at large hidden widths — at the
+  shipped 32–256 the collectives outweigh the split FLOPs (SURVEY.md §2b
+  row P2) — but the mesh API supports it for scaled configs.
 
 Under ``jax.jit`` with sharded inputs, XLA propagates the shardings through
 the scan and inserts the gradient ``psum`` over 'data' automatically —
@@ -64,12 +67,16 @@ def make_batch_sharder(mesh: Mesh):
     return shard
 
 
-def shard_params(mesh: Mesh, params, moment_axis: bool = False):
+def shard_params(mesh: Mesh, params, moment_axis: bool = False,
+                 hidden_axis: bool = False):
     """Place parameters on the mesh.
 
     moment_axis=True shards the leading stacked-K axis of separate-network
-    params over 'model' (expert parallelism over moments) when divisible;
-    everything else is replicated.
+    params over 'model' (expert parallelism over moments) when divisible.
+    hidden_axis=True shards the trailing feature axis of weights/biases
+    over 'model' (tensor parallelism over the hidden width; output heads
+    whose width doesn't divide stay replicated).  Anything that matches
+    neither rule is replicated.
     """
     n_model = mesh.shape["model"]
 
@@ -78,6 +85,10 @@ def shard_params(mesh: Mesh, params, moment_axis: bool = False):
                 and x.shape[0] % n_model == 0 and x.shape[0] > 1):
             return jax.device_put(
                 x, NamedSharding(mesh, P("model", *([None] * (x.ndim - 1)))))
+        if (hidden_axis and n_model > 1 and x.ndim >= 1
+                and x.shape[-1] % n_model == 0 and x.shape[-1] > 1):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, params)

@@ -87,3 +87,43 @@ def test_uneven_batch_falls_back():
     x = jnp.ones((10, 3))  # 10 % 8 != 0
     y = shard(x)
     assert np.allclose(np.asarray(y), 1.0)
+
+
+def test_hidden_axis_tp_sharding():
+    """Tensor parallelism: MLP weights shard their hidden axis over 'model';
+    forward AND gradients stay correct (XLA inserts the collectives)."""
+    import optax
+    from njode_tpu.models import nj_ode_loss_dense
+
+    mesh = make_mesh(data=2, model=4)
+    model = NeuralJumpODE(input_dim=1, hidden_dim=16, output_dim=1,
+                          num_moments=2, shared_network=True)
+    params = model.init(jax.random.PRNGKey(0))
+    sharded = shard_params(mesh, params, hidden_axis=True)
+    w = sharded["jump"]["layers"][0]["w"]
+    assert "model" in str(w.sharding.spec)
+    # output head (d_y * K = 2, not divisible by 4) stays replicated
+    w_out = sharded["out"]["layers"][-1]["w"]
+    assert "model" not in str(w_out.sharding.spec)
+
+    batch = simulate_batch(jax.random.PRNGKey(1), 8, "black_scholes", 0.1,
+                           n_steps=20)
+    shard = make_batch_sharder(mesh)
+    times, values, mask = shard(batch.times, batch.values, batch.mask)
+
+    p1, _ = jax.jit(model.apply)(params, batch.times, batch.values, batch.mask)
+    p2, _ = jax.jit(model.apply)(sharded, times, values, mask)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
+                               atol=1e-6)
+
+    def loss(p, t, v, m):
+        preds, before = model.apply(p, t, v, m)
+        return nj_ode_loss_dense(v, preds, before, m,
+                                 moment_weights=(1.0, 10.0))
+
+    g1 = jax.jit(jax.grad(loss))(params, batch.times, batch.values, batch.mask)
+    g2 = jax.jit(jax.grad(loss))(sharded, times, values, mask)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
