@@ -145,3 +145,18 @@ def test_auto_mode_stays_off_cpu():
                       dt_ode_step=0.05, use_pallas="auto")
     assert not m._use_gap_scan(64)
     assert not m._use_fused()
+
+
+def test_gap_kernel_dh_multiple_of_128():
+    """d_h % 128 == 0 forces the spare-lane widening (Dh_p = d_h + 128)."""
+    kw = dict(input_dim=1, hidden_dim=128, output_dim=1, num_moments=2,
+              shared_network=True, dt_ode_step=0.04, t_max=1.0)
+    ref = NeuralJumpODE(use_pallas=False, **kw)
+    fused = NeuralJumpODE(use_pallas="interpret", **kw)
+    params = ref.init(jax.random.PRNGKey(0))
+    batch = simulate_batch(jax.random.PRNGKey(1), 4, "black_scholes", 0.1,
+                           n_steps=20)
+    p1, pb1 = ref.apply(params, batch.times, batch.values, batch.mask)
+    p2, pb2 = fused.apply(params, batch.times, batch.values, batch.mask)
+    np.testing.assert_allclose(np.asarray(pb1), np.asarray(pb2), rtol=2e-5,
+                               atol=1e-6)
