@@ -66,8 +66,11 @@ def main():
                     help="mixed-precision matmul dtype (params stay f32); "
                          "bfloat16 pays off at hidden-dim >= 256")
     ap.add_argument("--pallas", action="store_true",
-                    help="enable the fused Pallas cell (default: pure-XLA "
-                         "path, which measures faster at these shapes)")
+                    help="FORCE the Pallas kernels on (use_pallas=True) for "
+                         "A/B experiments; the default pure-XLA path "
+                         "measures faster for whole training programs, and "
+                         "'auto' only engages kernels on inference paths "
+                         "(BENCH_NOTES.md)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="deprecated (pure-XLA is the default)")
     args = ap.parse_args()
@@ -125,7 +128,7 @@ def main():
                           activation="relu", variance_method="direct",
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
-                          use_pallas="auto" if args.pallas else False,
+                          use_pallas=True if args.pallas else False,
                           compute_dtype=args.compute_dtype,
                           ode_solver=args.ode_solver)
     tx = make_adam(1e-3, 5e-4)

@@ -44,13 +44,11 @@ Array = jnp.ndarray
 STEP_LAWS = ("gaussian", "lognormal", "mean")
 
 
+# variance extraction lives on the model (one copy of the direct /
+# second_moment convention shared with predict_at / predict_on_grid /
+# NJODEFilter)
 def _variance_from_raw(model: NeuralJumpODE, raw: Array) -> Array:
-    """raw: (B, d_y, K) -> conditional variance (B, d_y), per model convention."""
-    mean = raw[..., 0]
-    w = raw[..., 1]
-    if model.variance_method == "direct":
-        return w ** 2
-    return jnp.maximum(w - mean ** 2, 0.0)  # second_moment: Var = E[X^2]-E[X]^2
+    return model.variance_from_raw(raw)
 
 
 def _draw(key: jax.Array, law: str, mean: Array, var: Array,
@@ -117,8 +115,12 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
         t_start = jnp.broadcast_to(obs_times[-1], (B,))
         first_is_draw = True
     else:
-        x_start = jnp.broadcast_to(
-            jnp.asarray(x0, model.dtype).reshape(-1), (B, d_x))
+        x0a = jnp.asarray(x0, model.dtype)
+        if x0a.ndim == 0:
+            x0a = jnp.broadcast_to(x0a, (1, d_x))
+        else:  # (d_x,) -> (1, d_x); (B,) with d_x == 1 or (B, d_x) -> (B, d_x)
+            x0a = x0a.reshape(-1, d_x)
+        x_start = jnp.broadcast_to(x0a, (B, d_x))
         t_start = jnp.broadcast_to(grid_times[0], (B,))
         first_is_draw = False
 

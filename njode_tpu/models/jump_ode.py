@@ -80,10 +80,12 @@ class NeuralJumpODE:
       dtype:   parameter / carry dtype (default float32, like the reference).
       compute_dtype: mixed-precision matmul dtype (e.g. ``jnp.bfloat16`` or
                the string "bfloat16").  When set, the three MLPs run with
-               params and activations cast to this dtype (halving the HBM
-               traffic for weights/activations — the win appears at
-               hidden_dim >= 256) while the f32 master params, the latent
-               Euler carry, time features and all readout outputs stay in
+               params and inputs (including the assembled ODEFunc feature
+               vector, time features included) cast to this dtype at the
+               matmul boundary — halving the HBM traffic for
+               weights/activations; the win appears at hidden_dim >= 256 —
+               while the f32 master params, the latent Euler carry, the t
+               accumulation itself and all readout outputs stay in
                ``dtype``.  None (default) = full ``dtype`` compute.
     """
 
@@ -274,6 +276,23 @@ class NeuralJumpODE:
                 lambda p, hh: output_nn_apply(p, hh, self._act, self.dropout_rate, None)
             )(params["out"], h)
         return jnp.transpose(self._mp_out(ys), (1, 2, 0))  # (B, d_y, K)
+
+    def variance_from_raw(self, raw: jnp.ndarray):
+        """Conditional variance from raw moment outputs (..., d_y, K).
+
+        The single copy of the variance convention shared by ``predict_at``,
+        ``predict_on_grid``, ``NJODEFilter`` and ``sample_paths``:
+        ``direct``: Var = W^2; ``second_moment``: Var = E[X^2] - E[X]^2
+        clipped at 0 (reference utils/plotting.py:183-200).  Returns None
+        for single-moment models.
+        """
+        if self.num_moments < 2:
+            return None
+        mean = raw[..., 0]
+        w = raw[..., 1]
+        if self.variance_method == "direct":
+            return w ** 2
+        return jnp.maximum(w - mean ** 2, 0.0)
 
     def _ode(self, params: Params, h: jnp.ndarray, x_last: jnp.ndarray,
              t_cur: jnp.ndarray, t_new: jnp.ndarray,
@@ -596,16 +615,8 @@ class NeuralJumpODE:
         t_first = search_times[:, :1]
         before_first = (query_times < t_first)[..., None, None]
         raw = jnp.where(before_first, 0.0, raw)
-
-        mean = raw[..., 0]
-        var = None
-        if self.num_moments > 1:
-            w = raw[..., 1]
-            if self.variance_method == "direct":
-                var = w ** 2
-            else:
-                var = jnp.maximum(w - mean ** 2, 0.0)
-        return {"mean": mean, "var": var, "raw": raw}
+        return {"mean": raw[..., 0], "var": self.variance_from_raw(raw),
+                "raw": raw}
 
     # -------------------------------------------------------- grid rollout
 
@@ -679,15 +690,8 @@ class NeuralJumpODE:
 
         _, ys = lax.scan(step, (h0, x0, t0, seen0), xs)
         raw = jnp.moveaxis(ys, 0, 1)  # (B, G, d_y, K)
-        mean = raw[..., 0]
-        var = None
-        if self.num_moments > 1:
-            w = raw[..., 1]
-            if self.variance_method == "direct":
-                var = w ** 2
-            else:  # second_moment: Var = E[X^2] - E[X]^2, clipped at 0
-                var = jnp.maximum(w - mean ** 2, 0.0)
-        return {"mean": mean, "var": var, "raw": raw}
+        return {"mean": raw[..., 0], "var": self.variance_from_raw(raw),
+                "raw": raw}
 
 
 def pad_ragged(batch_times: Sequence, batch_values: Sequence, dtype=jnp.float32):

@@ -495,6 +495,11 @@ def integrate_gap_fused(h, x_scaled, t_last, t_target, ode_layers,
     d_x = x_scaled.shape[-1]
     dt = float(dt_ode_step)
     n_sub = int(max_substeps)
+    if n_sub == 0:
+        # degenerate budget (explicit max_substeps=0): the loop kernel has
+        # nothing to do and its backward would prefetch residual chunk -1;
+        # only the final partial step below applies
+        tL_zero = t_last.astype(jnp.float32)
     # one spare lane carries the packed t residual -> need Dh_p > d_h
     Dh_p = _round_up(d_h + 1, LANES)
     R_p = _round_up(R, _row_tile(R, Dh_p))
@@ -526,11 +531,14 @@ def integrate_gap_fused(h, x_scaled, t_last, t_target, ode_layers,
         w2_p = jnp.pad(w2, ((0, Dh_p - d_h), (0, Dh_p - d_h)))
         b2_p = jnp.pad(b2, (0, Dh_p - d_h)).reshape(1, Dh_p)
 
-        hL_p, tL_p = _gap_scan(h0_p, t0_col, ttgt_col, base_p, w1h_p, w1t_p,
-                               w2_p, b2_p, d_h, dt, n_sub, act_name,
-                               scale_name, interpret)
-        hL = hL_p[:R, :d_h]
-        tL = tL_p[:R, 0]
+        if n_sub == 0:
+            hL, tL = h[k], tL_zero
+        else:
+            hL_p, tL_p = _gap_scan(h0_p, t0_col, ttgt_col, base_p, w1h_p,
+                                   w1t_p, w2_p, b2_p, d_h, dt, n_sub,
+                                   act_name, scale_name, interpret)
+            hL = hL_p[:R, :d_h]
+            tL = tL_p[:R, 0]
 
         # final partial step to exactly t_target (reference :201-202),
         # plain XLA, differentiable

@@ -89,13 +89,7 @@ class NJODEFilter:
                              t_query, inference=True)
         y = m._readout(params, h)                      # (B, d_y, K)
         y = jnp.where(state.seen[:, None, None], y, 0.0)
-        mean = y[..., 0]
-        var = None
-        if m.num_moments > 1:
-            w = y[..., 1]
-            var = (w ** 2 if m.variance_method == "direct"
-                   else jnp.maximum(w - mean ** 2, 0.0))
-        return {"mean": mean, "var": var, "raw": y}
+        return {"mean": y[..., 0], "var": m.variance_from_raw(y), "raw": y}
 
     def predict(self, state: FilterState, t_query):
         """Conditional moments at ``t_query`` (>= each stream's t_last)."""

@@ -62,10 +62,17 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
                     backend: str = "msgpack") -> None:
     """Write params + optimizer state + histories to ``path``.
 
-    ``backend="msgpack"`` writes one file (tmp + rename, atomic);
-    ``backend="orbax"`` writes an Orbax checkpoint directory (Orbax's own
-    atomic finalize), supporting sharded multi-host params.
+    ``backend="msgpack"`` writes one file; ``backend="orbax"`` an Orbax
+    checkpoint directory (supports sharded multi-host params).  Both write
+    the full checkpoint to a side path FIRST and only then swap it in, so a
+    preemption never leaves the run without a loadable checkpoint (the
+    remaining window is the two-rename swap when switching backends over an
+    existing artifact of the other kind).
     """
+    import shutil
+
+    abspath = os.path.abspath(path)
+    os.makedirs(os.path.dirname(abspath), exist_ok=True)
     if backend == "orbax":
         import orbax.checkpoint as ocp
         state = {
@@ -76,20 +83,26 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
             **{k: np.asarray(histories[k], dtype=np.float64)
                for k in HISTORY_KEYS if len(histories.get(k, []))},
         }
-        abspath = os.path.abspath(path)
-        if os.path.isfile(abspath):  # switching backend over an old file
-            os.remove(abspath)
+        tmpdir = abspath + ".tmp_orbax"
+        if os.path.isdir(tmpdir):
+            shutil.rmtree(tmpdir)
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(abspath, state, force=True)
+            ckptr.save(tmpdir, state)
+        if os.path.isdir(abspath):
+            shutil.rmtree(abspath)
+        elif os.path.isfile(abspath):  # switching backend over an old file
+            os.remove(abspath)
+        os.rename(tmpdir, abspath)
         return
     if backend != "msgpack":
         raise ValueError(f"Unknown checkpoint backend: {backend}")
     blob = serialization.msgpack_serialize(_bundle(params, opt_state, histories))
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = abspath + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
-    os.replace(tmp, path)
+    if os.path.isdir(abspath):  # switching backend over an old orbax dir
+        shutil.rmtree(abspath)
+    os.replace(tmp, abspath)
 
 
 def _read_state(path: str) -> dict:

@@ -160,3 +160,30 @@ def test_gap_kernel_dh_multiple_of_128():
     p2, pb2 = fused.apply(params, batch.times, batch.values, batch.mask)
     np.testing.assert_allclose(np.asarray(pb1), np.asarray(pb2), rtol=2e-5,
                                atol=1e-6)
+
+
+def test_gap_kernel_zero_substep_budget():
+    """max_substeps=0 degenerates to the final partial step only (and its
+    backward must not prefetch residual chunk -1)."""
+    kw = dict(input_dim=1, hidden_dim=8, output_dim=1, num_moments=2,
+              dt_ode_step=0.5, max_substeps=0, t_max=1.0)
+    ref = NeuralJumpODE(use_pallas=False, **kw)
+    fused = NeuralJumpODE(use_pallas="interpret", **kw)
+    params = ref.init(jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 1))
+    t0 = jnp.zeros((4,))
+    t1 = jnp.asarray([0.0, 0.1, 0.3, 0.45])
+    out_ref = ref._integrate_gap(params, h, x, t0, t1)
+    out_fused = fused._integrate_gap(params, h, x, t0, t1)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-7)
+    # gradient path
+    g1 = jax.grad(lambda p: jnp.sum(
+        ref._integrate_gap(p, h, x, t0, t1) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(
+        fused._integrate_gap(p, h, x, t0, t1) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-7)

@@ -142,3 +142,20 @@ def test_sampler_validation():
     out = sample_paths(model1, p, jax.random.PRNGKey(0), 4, grid, x0=1.0,
                        law="mean")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_x0_shapes(ou_model):
+    """x0 accepts scalar, (d_x,), (B,), and (B, d_x) as documented."""
+    model, params = ou_model
+    grid = jnp.linspace(0.0, 1.0, 4)
+    B = 6
+    per_path = jnp.linspace(-1.0, 1.0, B)
+    for x0 in [0.5, jnp.asarray([0.5]), per_path, per_path[:, None]]:
+        s = sample_paths(model, params, jax.random.PRNGKey(0), B, grid,
+                         x0=x0, law="mean")
+        assert s.shape == (B, 4, 1)
+    # per-path values actually differ at t=0
+    s = sample_paths(model, params, jax.random.PRNGKey(0), B, grid,
+                     x0=per_path, law="mean")
+    np.testing.assert_allclose(np.asarray(s[:, 0, 0]), np.asarray(per_path),
+                               rtol=1e-6)

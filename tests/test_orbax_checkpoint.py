@@ -132,3 +132,39 @@ def test_run_experiment_resume_with_orbax(tmp_path):
     assert len(res3["history"]["train_loss"]) == 6
     np.testing.assert_allclose(res3["history"]["train_loss"][:4],
                                h["train_loss"], rtol=1e-6)
+
+
+def test_msgpack_save_over_existing_orbax_dir(tmp_path):
+    """Switching orbax -> msgpack must replace the directory, not crash."""
+    _, params, _, opt_state = _model_and_state()
+    hist = {"train_losses": [1.0], "val_losses": [], "epoch_times": [],
+            "relative_loss": []}
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint(path, params, opt_state, hist, backend="orbax")
+    assert (tmp_path / "model.ckpt").is_dir()
+    save_checkpoint(path, params, opt_state, hist, backend="msgpack")
+    assert (tmp_path / "model.ckpt").is_file()
+    p2, _, h2 = load_checkpoint(path, params, opt_state)
+    _assert_trees_equal(params, p2)
+    assert h2["train_losses"] == [1.0]
+
+
+def test_orbax_save_never_leaves_run_without_checkpoint(tmp_path):
+    """The orbax save writes to a side dir first: until the final swap, the
+    previous checkpoint file remains loadable (no whole-save crash window)."""
+    import os
+    _, params, _, opt_state = _model_and_state()
+    hist = {"train_losses": [1.0], "val_losses": [], "epoch_times": [],
+            "relative_loss": []}
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint(path, params, opt_state, hist, backend="msgpack")
+    # simulate the state right before the swap: side dir fully written
+    import orbax.checkpoint as ocp
+    from flax import serialization
+    with ocp.PyTreeCheckpointer() as ck:
+        ck.save(os.path.abspath(path) + ".tmp_orbax",
+                {"model_state_dict": serialization.to_state_dict(params)})
+    # the original msgpack checkpoint is still intact and loadable
+    assert (tmp_path / "model.ckpt").is_file()
+    p2, _, _ = load_checkpoint(path, params, opt_state)
+    _assert_trees_equal(params, p2)
