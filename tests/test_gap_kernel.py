@@ -187,3 +187,78 @@ def test_gap_kernel_zero_substep_budget():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_gap_kernel_fuzz():
+    """Randomized configs: kernel (interpret) vs XLA across shapes, scales,
+    activations, substep counts and gap distributions, fwd + grad."""
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        K_h = int(rng.integers(1, 3))
+        R = int(rng.integers(3, 40))
+        d_h = int(rng.integers(4, 40))
+        d_x = int(rng.integers(1, 4))
+        n_sub = int(rng.integers(1, 14))
+        dt = float(rng.uniform(0.01, 0.2))
+        act = str(rng.choice(["relu", "tanh", "sigmoid"]))
+        scale = str(rng.choice(["identity", "tanh", "sigmoid"]))
+        d_in = d_h + d_x + 2
+
+        h = jnp.asarray(rng.normal(size=(K_h, R, d_h)) * 0.5, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(R, d_x)), jnp.float32)
+        t0 = jnp.asarray(rng.uniform(0, 0.2, R), jnp.float32)
+        gaps = jnp.asarray(rng.uniform(0, dt * (n_sub + 1), R), jnp.float32)
+        gaps = gaps.at[0].set(0.0)  # always include an inert row
+        t1 = t0 + gaps
+        if K_h == 1:
+            layers = [
+                {"w": jnp.asarray(rng.normal(size=(d_in, d_h)) * .3, jnp.float32),
+                 "b": jnp.asarray(rng.normal(size=(d_h,)) * .1, jnp.float32)},
+                {"w": jnp.asarray(rng.normal(size=(d_h, d_h)) * .3, jnp.float32),
+                 "b": jnp.asarray(rng.normal(size=(d_h,)) * .1, jnp.float32)},
+            ]
+            model_layers = [{"w": l["w"][None], "b": l["b"][None]}
+                            for l in layers]
+        else:
+            layers = [
+                {"w": jnp.asarray(rng.normal(size=(K_h, d_in, d_h)) * .3,
+                                  jnp.float32),
+                 "b": jnp.asarray(rng.normal(size=(K_h, d_h)) * .1, jnp.float32)},
+                {"w": jnp.asarray(rng.normal(size=(K_h, d_h, d_h)) * .3,
+                                  jnp.float32),
+                 "b": jnp.asarray(rng.normal(size=(K_h, d_h)) * .1, jnp.float32)},
+            ]
+            model_layers = layers
+
+        model = NeuralJumpODE(input_dim=d_x, hidden_dim=d_h, output_dim=1,
+                              num_moments=K_h, activation=act,
+                              input_scaling=scale, dt_ode_step=dt,
+                              max_substeps=n_sub, use_pallas=False)
+        params = {"ode": {"layers": model_layers}}
+        x_s = model._scale(x)
+
+        def fused(lay):
+            return integrate_gap_fused(h, x_s, t0, t1, lay, dt, n_sub, act,
+                                       scale, interpret=True)
+
+        out_f = fused(layers)
+        out_x = model._integrate_gap(params, h, x, t0, t1)
+        err = float(jnp.max(jnp.abs(out_f - out_x)))
+        assert err < 5e-5, (trial, K_h, R, d_h, d_x, n_sub, act, scale, err)
+
+        def loss_f(lay):
+            return jnp.sum(jnp.cos(fused(lay)))
+
+        def loss_x(lay):
+            p = {"ode": {"layers": ([{"w": l["w"][None], "b": l["b"][None]}
+                                     for l in lay] if K_h == 1 else lay)}}
+            return jnp.sum(jnp.cos(model._integrate_gap(p, h, x, t0, t1)))
+
+        g_f = jax.grad(loss_f)(layers)
+        g_x = jax.grad(loss_x)(layers)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            sc = float(jnp.max(jnp.abs(b))) + 1e-8
+            rel = float(jnp.max(jnp.abs(a - b))) / sc
+            assert rel < 1e-3, (trial, K_h, R, d_h, d_x, n_sub, act, scale,
+                                rel)
