@@ -225,8 +225,12 @@ def main():
     def val_metrics(params, key):
         vb = simulate_batch(key, args.n_val, args.process, args.obs_fraction, **P)
         preds, preds_before = model.apply(params, vb.times, vb.values, vb.mask)
+        # hybrid with random switch times: use the recorded per-path switch
+        # times for EXACT truths (the reference can only zero-fill here,
+        # making its "relative loss" metric meaningless for this process)
         yt, ytb = moments_at_obs(vb.times, vb.values, args.process,
                                  num_moments=2, variance_method="direct",
+                                 switch_times=vb.switch_times,
                                  **P)
         # conditional-mean MSE on the predictive (before-jump) side,
         # excluding slot 0 where the truth is defined as the observation
