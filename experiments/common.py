@@ -22,53 +22,58 @@ def add_common_args(parser: argparse.ArgumentParser,
     (reference experiments/experiment_black_scholes.py:23-64)."""
     # Model architecture
     parser.add_argument('--hidden-dim', type=int, default=32,
-                        help='Hidden dimension size')
+                        help='Width of the latent state h and of every MLP '
+                             'hidden layer')
     parser.add_argument('--n-hidden-layers', type=int, default=1,
-                        help='Number of hidden layers')
+                        help='Hidden-layer count in each of the three MLPs')
     parser.add_argument('--activation', type=str, default=activation_default,
                         choices=['relu', 'tanh', 'sigmoid', 'elu',
                                  'leaky_relu', 'selu'],
-                        help='Activation function')
+                        help='Nonlinearity used throughout the networks')
     parser.add_argument('--dropout-rate', type=float, default=0.0,
-                        help='Dropout rate for regularization')
+                        help='Train-time dropout probability (0 disables)')
     parser.add_argument('--input-scaling', type=str, default='identity',
                         choices=['identity', 'tanh', 'sigmoid'],
-                        help='Input scaling function for ODE network')
+                        help='Squashing applied to (h, x) before the drift '
+                             'MLP sees them')
     parser.add_argument('--variance-method', type=str, default='direct',
                         choices=['direct', 'second_moment'],
-                        help='Variance prediction method: direct (predict W, '
-                             'variance=W^2) or second_moment (predict E[X^2], '
-                             'variance=E[X^2]-E[X]^2)')
+                        help='How moment 1 parameterizes the variance: '
+                             'direct squares the raw head output W; '
+                             'second_moment regresses E[X^2] and derives '
+                             'Var = E[X^2] - mean^2')
     parser.add_argument('--dt-ode-step', type=float, default=None,
-                        help='Fixed time step for ODE integration (if None, '
-                             'single step between observations)')
+                        help='Euler substep size inside each inter-'
+                             'observation gap; omit to take one step per gap')
 
     # Training parameters
     parser.add_argument('--learning-rate', type=float, default=1e-3,
-                        help='Learning rate')
+                        help='Adam step size')
     parser.add_argument('--weight-decay', type=float, default=5e-4,
-                        help='Weight decay')
+                        help='L2 penalty folded into the gradient '
+                             '(torch-Adam style, not decoupled)')
     parser.add_argument('--n-epochs', type=int, default=200,
-                        help='Number of epochs')
+                        help='Total training epochs')
     parser.add_argument('--batch-size', type=int, default=128,
-                        help='Batch size')
+                        help='Trajectories per minibatch')
     parser.add_argument('--no-shuffle', action='store_true',
-                        help='Disable shuffling of trajectories between '
-                             'mini-batches (default: shuffle enabled)')
+                        help='Keep trajectory order fixed across minibatches '
+                             'instead of reshuffling each epoch')
     parser.add_argument('--print-every', type=int, default=5,
-                        help='Print frequency')
+                        help='Epoch interval for progress lines, relative-'
+                             'loss evals and checkpoint saves')
     parser.add_argument('--device', type=str, default='auto',
-                        help='Device (auto/cpu/tpu)')
+                        help='Backend to run on: auto, cpu or tpu')
 
     # Moment learning
     parser.add_argument('--num-moments', type=int, default=2,
-                        help='Number of moments to learn')
+                        help='How many conditional moments the model predicts')
     parser.add_argument('--moment-weights', type=float, nargs='+',
                         default=[1.0, 10.0],
-                        help='Weights for each moment loss')
+                        help='Per-moment coefficients in the training loss')
     parser.add_argument('--shared-network', action='store_true',
-                        help='Use single shared network for all moments '
-                             '(default: separate networks)')
+                        help='One wide network emitting all moments at once '
+                             'instead of a separate network per moment')
     parser.add_argument('--extended-moments', action='store_true',
                         help='Train moments >= 2 against their analytic '
                              'targets (extension: the reference allocates '
@@ -76,22 +81,37 @@ def add_common_args(parser: argparse.ArgumentParser,
 
     # Data parameters
     parser.add_argument('--cache-data', action='store_true',
-                        help='Cache training data (reuse same paths each '
-                             'epoch). Default: False (generate fresh paths)')
+                        help='Simulate one training set up front and reuse '
+                             'it every epoch; by default each epoch draws '
+                             'new paths')
     parser.add_argument('--n-train', type=int, default=1000,
-                        help='Number of training trajectories')
+                        help='Training-set trajectory count')
     parser.add_argument('--n-val', type=int, default=200,
-                        help='Number of validation trajectories')
+                        help='Validation-set trajectory count')
     parser.add_argument('--obs-fraction', type=float, default=0.1,
-                        help='Fraction of points observed')
-    parser.add_argument('--T', type=float, default=1.0, help='Time horizon')
+                        help='Share of grid points revealed as observations')
+    parser.add_argument('--T', type=float, default=1.0,
+                        help='Simulation end time')
     parser.add_argument('--n-steps', type=int, default=100,
-                        help='Number of time steps')
+                        help='Grid resolution: simulation steps over [0, T]')
 
     # TPU-native extras (no reference analogue)
     parser.add_argument('--data-parallel', type=int, default=0,
                         help='Shard trajectories over N devices (0 = single '
                              'device)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='Initialize jax.distributed and build the data-'
+                             'parallel mesh over every host\'s devices; run '
+                             'the same command once per host')
+    parser.add_argument('--coordinator-address', type=str, default=None,
+                        help='host:port of process 0 for --multihost '
+                             '(omit on TPU pods: auto-detected)')
+    parser.add_argument('--num-processes', type=int, default=None,
+                        help='Total process count for --multihost '
+                             '(omit on TPU pods: auto-detected)')
+    parser.add_argument('--process-id', type=int, default=None,
+                        help='This process\'s rank for --multihost '
+                             '(omit on TPU pods: auto-detected)')
     parser.add_argument('--seed', type=int, default=0,
                         help='Model-init / shuffle seed')
     parser.add_argument('--data-seed', type=int, default=0,
@@ -144,6 +164,10 @@ def build_config(args, experiment_name: str, process_type: str,
         "shared_network": args.shared_network,
         "extended_moments": args.extended_moments,
         "data_parallel": args.data_parallel,
+        "multihost": args.multihost,
+        "coordinator_address": args.coordinator_address,
+        "num_processes": args.num_processes,
+        "process_id": args.process_id,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
         "seed": args.seed,
@@ -219,6 +243,8 @@ def run_and_plot(config: dict, process_type: str, process_params: dict,
             input_scaling=config.get("input_scaling", "identity"),
             variance_method=config.get("variance_method", "direct"),
             t_max=config["data"].get("T", 1.0),
+            ode_solver=config.get("ode_solver", "euler"),
+            compute_dtype=config.get("compute_dtype"),
         )
         params = load_params(str(save_path / "model.ckpt"),
                              model.init(jax.random.PRNGKey(0)))

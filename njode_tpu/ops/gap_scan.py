@@ -334,7 +334,7 @@ def _forward_call(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
                                  memory_space=pltpu.VMEM)
     full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
                                   memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     res, hL, tL = pl.pallas_call(
         functools.partial(_fwd_kernel, dt=dt, n_sub=n_sub, act=act,
                           scale=scale, rt=RT, d_h=d_h),
@@ -391,7 +391,7 @@ def _backward_call(ghL, res, ttgt_col, base, w1h, w1t_row, w2,
                                  memory_space=pltpu.VMEM)
     full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
                                   memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, dt=dt, n_sub=n_sub, act=act,
                           scale=scale, rt=RT, d_h=d_h),

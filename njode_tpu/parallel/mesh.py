@@ -46,6 +46,23 @@ def batch_spec(ndim: int) -> P:
     return P("data", *([None] * (ndim - 1)))
 
 
+def _global_put(x, mesh: Mesh, spec: P):
+    """device_put that also works when ``mesh`` spans multiple processes.
+
+    Single process: plain ``jax.device_put``.  Multi-process: every process
+    holds the SAME full value (data generation and init are deterministic),
+    so each contributes its addressable shards via
+    ``jax.make_array_from_callback`` and the result is one global
+    ``jax.Array`` laid out per ``spec``.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sharding,
+                                        lambda idx: xnp[idx])
+
+
 def make_batch_sharder(mesh: Mesh):
     """Returns shard(*arrays) placing the leading (trajectory) axis on 'data'.
 
@@ -58,10 +75,9 @@ def make_batch_sharder(mesh: Mesh):
         out = []
         for a in arrays:
             if a.shape[0] % n_data == 0:
-                out.append(jax.device_put(
-                    a, NamedSharding(mesh, batch_spec(a.ndim))))
+                out.append(_global_put(a, mesh, batch_spec(a.ndim)))
             else:
-                out.append(jax.device_put(a, NamedSharding(mesh, P())))
+                out.append(_global_put(a, mesh, P()))
         return tuple(out) if len(out) > 1 else out[0]
 
     return shard
@@ -83,12 +99,10 @@ def shard_params(mesh: Mesh, params, moment_axis: bool = False,
     def place(x):
         if (moment_axis and n_model > 1 and x.ndim >= 1
                 and x.shape[0] % n_model == 0 and x.shape[0] > 1):
-            return jax.device_put(
-                x, NamedSharding(mesh, P("model", *([None] * (x.ndim - 1)))))
+            return _global_put(x, mesh, P("model", *([None] * (x.ndim - 1))))
         if (hidden_axis and n_model > 1 and x.ndim >= 1
                 and x.shape[-1] % n_model == 0 and x.shape[-1] > 1):
-            return jax.device_put(
-                x, NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model")))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            return _global_put(x, mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return _global_put(x, mesh, P())
 
     return jax.tree_util.tree_map(place, params)

@@ -71,6 +71,14 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
     """
     import shutil
 
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
+    def _barrier(tag):
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"njode-ckpt-{tag}")
+
     abspath = os.path.abspath(path)
     os.makedirs(os.path.dirname(abspath), exist_ok=True)
     if backend == "orbax":
@@ -84,25 +92,36 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
                for k in HISTORY_KEYS if len(histories.get(k, []))},
         }
         tmpdir = abspath + ".tmp_orbax"
-        if os.path.isdir(tmpdir):
+        if primary and os.path.isdir(tmpdir):
             shutil.rmtree(tmpdir)
+        _barrier("pre-save")
+        # collective: every process calls save (each writes only the shards
+        # it addresses; orbax coordinates the commit across processes)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(tmpdir, state)
-        if os.path.isdir(abspath):
-            shutil.rmtree(abspath)
-        elif os.path.isfile(abspath):  # switching backend over an old file
-            os.remove(abspath)
-        os.rename(tmpdir, abspath)
+        _barrier("saved")
+        if primary:
+            if os.path.isdir(abspath):
+                shutil.rmtree(abspath)
+            elif os.path.isfile(abspath):  # switching backend over an old file
+                os.remove(abspath)
+            os.rename(tmpdir, abspath)
+        _barrier("swapped")
         return
     if backend != "msgpack":
         raise ValueError(f"Unknown checkpoint backend: {backend}")
-    blob = serialization.msgpack_serialize(_bundle(params, opt_state, histories))
-    tmp = abspath + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    if os.path.isdir(abspath):  # switching backend over an old orbax dir
-        shutil.rmtree(abspath)
-    os.replace(tmp, abspath)
+    if primary:
+        # params are replicated (or numpy) on every process; one writer is
+        # enough and avoids same-file races on a shared filesystem
+        blob = serialization.msgpack_serialize(
+            _bundle(params, opt_state, histories))
+        tmp = abspath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        if os.path.isdir(abspath):  # switching backend over an old orbax dir
+            shutil.rmtree(abspath)
+        os.replace(tmp, abspath)
+    _barrier("msgpack-written")
 
 
 def _read_state(path: str) -> dict:

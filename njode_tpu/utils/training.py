@@ -180,6 +180,7 @@ class Trainer:
 
         self.params = model.init(jax.random.fold_in(self._rng, 0))
         self.opt_state = self.optimizer.init(self.params)
+        self._place_state()
 
         self.train_losses: List[float] = []
         self.val_losses: List[float] = []
@@ -192,6 +193,20 @@ class Trainer:
         if mesh is not None:
             from ..parallel import make_batch_sharder
             self._shard = make_batch_sharder(mesh)
+
+    def _place_state(self):
+        """Place params/opt_state on the mesh (replicated by default).
+
+        Required whenever the mesh spans multiple processes: every array a
+        multi-controller jit touches must be a global ``jax.Array``, so
+        freshly-initialised or checkpoint-loaded (host-local) state is
+        re-globalized here.  Harmless on single-process meshes.
+        """
+        if self.mesh is None:
+            return
+        from ..parallel import shard_params
+        self.params = shard_params(self.mesh, self.params)
+        self.opt_state = shard_params(self.mesh, self.opt_state)
 
     # ------------------------------------------------------------- loss fn
 
@@ -271,7 +286,12 @@ class Trainer:
         backends: each dispatch costs ~0.1s over the tunnel).
         """
         n = loader.n_trajectories
-        cached = loader(0) if loader.cache else None
+        cached = None
+        if loader.cache:
+            b = loader(0)
+            cached = (b.times, b.values, b.mask)
+            if self._shard is not None:
+                cached = self._shard(*cached)
 
         def constrain(x):
             """Pin the generated batch's trajectory axis to the 'data' mesh
@@ -289,8 +309,7 @@ class Trainer:
                 p, s = carry
                 epoch = epoch0 + e
                 if cached is not None:
-                    times, values, mask = (cached.times, cached.values,
-                                           cached.mask)
+                    times, values, mask = cached
                 else:
                     b = loader.traced_gen(epoch)
                     times, values, mask = b.times, b.values, b.mask
@@ -398,6 +417,9 @@ class Trainer:
                               moment_weights=self.moment_weights,
                               variance_method=self.variance_method,
                               extended_moments=self.extended_moments)))
+        if self._shard is not None:  # globalize for multi-process meshes
+            times, values, mask, y_true, y_true_before = self._shard(
+                times, values, mask, y_true, y_true_before)
         return dict(times=times, values=values, mask=mask,
                     y_true=y_true, y_true_before=y_true_before, fn=rel_fn)
 
@@ -433,6 +455,7 @@ class Trainer:
             try:
                 self.params, self.opt_state, hist = load_checkpoint(
                     save_path, self.params, self.opt_state)
+                self._place_state()
                 self.train_losses = hist["train_losses"]
                 self.val_losses = hist["val_losses"]
                 self.epoch_times = hist["epoch_times"]
@@ -541,6 +564,8 @@ class Trainer:
         if val_loader is not None:
             vb = val_loader(0)
             val_t, val_v, val_m = vb.times, vb.values, vb.mask
+            if self._shard is not None:
+                val_t, val_v, val_m = self._shard(val_t, val_v, val_m)
         else:
             val_t = val_v = val_m = None
 
@@ -626,6 +651,7 @@ class Trainer:
     def load_model(self, path: str):
         self.params, self.opt_state, hist = load_checkpoint(
             path, self.params, self.opt_state)
+        self._place_state()
         self.train_losses = hist["train_losses"]
         self.val_losses = hist["val_losses"]
         self.epoch_times = hist["epoch_times"]
@@ -642,19 +668,37 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     Artifact layout preserved: ``runs/<experiment_name>/{config.json,
     model.ckpt, history.json}``.
     """
+    multihost = bool(config.get("multihost", False))
+    if multihost:
+        # must happen before any backend/device query (SURVEY.md §2b row P3)
+        from ..parallel import initialize_distributed
+        initialize_distributed(
+            coordinator_address=config.get("coordinator_address"),
+            num_processes=config.get("num_processes"),
+            process_id=config.get("process_id"))
+    try:
+        is_primary = jax.process_index() == 0
+    except RuntimeError:  # backend not initializable yet; ensure_backend below
+        is_primary = True
+
     save_path = Path(save_dir) / config["experiment_name"]
     save_path.mkdir(parents=True, exist_ok=True)
-    with open(save_path / "config.json", "w") as f:
-        json.dump(config, f, indent=2)
+    if is_primary:
+        with open(save_path / "config.json", "w") as f:
+            json.dump(config, f, indent=2)
 
     from .backend import ensure_backend
     devices = ensure_backend()
     platform = devices[0].platform
-    print(f"Backend: {platform} | devices: {len(devices)}")
+    print(f"Backend: {platform} | devices: {len(devices)} | "
+          f"process {jax.process_index()}/{jax.process_count()}")
 
     mesh = None
     n_dp = config.get("data_parallel", 0)
-    if n_dp and n_dp > 1:
+    if multihost:
+        from ..parallel import global_mesh
+        mesh = global_mesh()
+    elif n_dp and n_dp > 1:
         from ..parallel import make_mesh
         mesh = make_mesh(data=n_dp)
 
@@ -708,8 +752,9 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         config=config,
     )
 
-    with open(save_path / "history.json", "w") as f:
-        json.dump(history, f, indent=2)
+    if is_primary:
+        with open(save_path / "history.json", "w") as f:
+            json.dump(history, f, indent=2)
     print(f"Experiment completed. Results saved to {save_path}")
 
     return {
