@@ -72,6 +72,11 @@ def cir_moments(times, values, num_moments=1, variance_method="direct",
 
 
 def main():
+    # NJODE_SMOKE=1 shrinks everything so CI can execute the example cheaply
+    import os
+    smoke = os.environ.get("NJODE_SMOKE") == "1"
+    n_train, n_val, n_epochs = (64, 32, 4) if smoke else (512, 128, 100)
+
     register_process("cir", cir_paths, moments_fn=cir_moments)
 
     model = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
@@ -80,10 +85,11 @@ def main():
                       ignore_first_continuity=True,
                       moment_weights=[1.0, 10.0])
     train_fn, val_fn = create_data_loaders(
-        process_type="cir", n_train=512, n_val=128, obs_fraction=0.1,
+        process_type="cir", n_train=n_train, n_val=n_val, obs_fraction=0.1,
         cache_data=False, kappa=2.0, theta=0.04, xi=0.3, x0=0.04)
     history = trainer.train(
-        train_fn, val_fn, n_epochs=100, batch_size=128, print_every=20,
+        train_fn, val_fn, n_epochs=n_epochs, batch_size=128,
+        print_every=2 if smoke else 20,
         config={"data": {"process_type": "cir", "kappa": 2.0,
                          "theta": 0.04, "xi": 0.3}})
     print(f"final val loss {history['val_loss'][-1]:.5f}, "

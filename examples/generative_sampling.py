@@ -33,6 +33,11 @@ THETA, MU, SIGMA = 2.0, 1.0, 0.4
 
 
 def main():
+    # NJODE_SMOKE=1 shrinks everything so CI can execute the example cheaply
+    import os
+    smoke = os.environ.get("NJODE_SMOKE") == "1"
+    n_batch, n_steps, n_samples = (64, 20, 256) if smoke else (512, 600, 4000)
+
     # ---- train briefly on OU paths (fresh data per step) ----
     model = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
                           num_moments=2, activation="tanh")
@@ -42,7 +47,7 @@ def main():
 
     @jax.jit
     def step(p, s, k):
-        batch = simulate_batch(k, 512, "ornstein_uhlenbeck",
+        batch = simulate_batch(k, n_batch, "ornstein_uhlenbeck",
                                obs_fraction=0.1, theta=THETA, mu=MU,
                                sigma=SIGMA, x0=0.0)
 
@@ -57,13 +62,13 @@ def main():
         return optax.apply_updates(p, u), s, l
 
     key = jax.random.PRNGKey(1)
-    for i in range(600):
+    for i in range(n_steps):
         params, state, loss = step(params, state, jax.random.fold_in(key, i))
     print(f"trained: final loss {float(loss):.4f}")
 
     # ---- sample fresh trajectories from the learned dynamics ----
     grid = jnp.linspace(0.0, 1.0, 21)
-    samples = sample_paths(model, params, jax.random.PRNGKey(7), 4000,
+    samples = sample_paths(model, params, jax.random.PRNGKey(7), n_samples,
                            grid, x0=0.0, law="gaussian")
     s = np.asarray(samples)[..., 0]
     t = np.asarray(grid)
@@ -77,7 +82,7 @@ def main():
     # ---- conditional generation: continue an observed prefix ----
     obs_t = jnp.asarray([0.0, 0.5])
     obs_v = jnp.asarray([[0.0], [2.0]])  # last obs far above the mean
-    cont = sample_paths(model, params, jax.random.PRNGKey(9), 4000,
+    cont = sample_paths(model, params, jax.random.PRNGKey(9), n_samples,
                         jnp.linspace(0.6, 1.5, 10), x0=None,
                         law="gaussian", obs_times=obs_t, obs_values=obs_v)
     c = np.asarray(cont)[..., 0]

@@ -27,13 +27,18 @@ from njode_tpu.utils import make_adam
 
 
 def main():
+    # NJODE_SMOKE=1 shrinks everything so CI can execute the example cheaply
+    import os
+    smoke = os.environ.get("NJODE_SMOKE") == "1"
+    n_batch, n_steps = (64, 20) if smoke else (512, 300)
+
     # ---- train briefly on Black-Scholes paths ----
     model = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
                           num_moments=2)
     params = model.init(jax.random.PRNGKey(0))
     tx = make_adam(1e-3, 5e-4)
     opt_state = tx.init(params)
-    batch = simulate_batch(jax.random.PRNGKey(1), 512, "black_scholes",
+    batch = simulate_batch(jax.random.PRNGKey(1), n_batch, "black_scholes",
                            obs_fraction=0.1, mu=0.1, sigma=0.5)
 
     @jax.jit
@@ -47,7 +52,7 @@ def main():
         u, opt_state = tx.update(g, opt_state, params)
         return optax.apply_updates(params, u), opt_state, loss
 
-    for i in range(300):
+    for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state)
     print(f"trained: loss {float(loss):.4f}")
 

@@ -134,13 +134,18 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Write a jax.profiler trace of the run here')
     parser.add_argument('--no-plots', action='store_true',
                         help='Skip plot generation after training')
+    parser.add_argument('--experiment-name', type=str, default=None,
+                        help='Override the run directory name under runs/ '
+                             '(lets sweep configs run concurrently without '
+                             'colliding)')
 
 
 def build_config(args, experiment_name: str, process_type: str,
                  data_params: dict) -> dict:
     """Assemble the nested config dict (reference experiment_*.py:79-113)."""
     return {
-        "experiment_name": experiment_name,
+        "experiment_name": getattr(args, "experiment_name", None)
+                           or experiment_name,
         "input_dim": 1,
         "hidden_dim": args.hidden_dim,
         "output_dim": 1,
