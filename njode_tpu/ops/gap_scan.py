@@ -114,6 +114,19 @@ def _n_sub_padded(n_sub: int) -> int:
     return _round_up(n_sub, CHUNK)
 
 
+# Checkpoint interval for the rematerialized backward: the forward stores
+# only every CK-th (h, t) state to HBM (residual traffic / CK), and the
+# backward recomputes each CK-substep segment in VMEM from its checkpoint
+# before walking it in reverse — the classic sqrt-checkpointing trade of
+# FLOPs (1 extra forward) for DMA bytes.  The full-residual kernels above
+# remain for short loops where the seg-recompute bookkeeping isn't worth it.
+CK = 8
+
+
+def _use_remat(n_sub: int) -> bool:
+    return n_sub > 2 * CK
+
+
 # --------------------------------------------------------------------------
 # forward kernel: grid = (row_tiles,), substeps in an in-kernel fori_loop
 # --------------------------------------------------------------------------
@@ -213,6 +226,193 @@ def _fwd_kernel_lean(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
     lax.fori_loop(0, n_sub, body, 0)
     hout_ref[:] = h_s[:]
     tout_ref[:] = t_s[:]
+
+
+# --------------------------------------------------------------------------
+# rematerialized kernel pair: checkpoint every CK substeps
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_ck(h0_ref, t0_ref, ttgt_ref, base_ref, w1h_ref, w1t_ref,
+                   w2_ref, b2_ref,
+                   res_ref, hout_ref, tout_ref,
+                   h_s, t_s, ckstage, sems,
+                   *, dt: float, n_sub: int, act: str, scale: str,
+                   rt: int, d_h: int):
+    """Training forward with sqrt-checkpointed residuals: identical substep
+    math to _fwd_kernel, but only the state entering every CK-th substep is
+    streamed to HBM (residual bytes / CK)."""
+    r = pl.program_id(0)
+    r0 = r * rt
+    h_s[:] = h0_ref[:]
+    t_s[:] = t0_ref[:]
+    ttgt = ttgt_ref[:]
+    base = base_ref[:]
+    w1h = w1h_ref[:]
+    w1t = w1t_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    is_t = lax.broadcasted_iota(jnp.int32, h_s.shape, 1) == d_h
+    K_ck = -(-n_sub // CK)
+
+    def ck_dma(slot, k):
+        return pltpu.make_async_copy(
+            ckstage.at[slot],
+            res_ref.at[pl.ds(k, 1), pl.ds(r0, rt), :],
+            sems.at[slot])
+
+    def body(j, _):
+        k = j // CK
+        slot = lax.rem(k, 2)
+
+        @pl.when(lax.rem(j, CK) == 0)
+        def _():
+            # the slot was used for checkpoint k-2; its DMA must land first
+            @pl.when(j >= 2 * CK)
+            def _():
+                ck_dma(slot, k - 2).wait()
+            ckstage[slot, 0] = jnp.where(is_t, t_s[:], h_s[:])
+            ck_dma(slot, k).start()
+
+        pred = (t_s[:] + dt) < ttgt
+        pre = jnp.dot(_SCALE[scale](h_s[:]), w1h,
+                      preferred_element_type=jnp.float32)
+        pre = pre + base + t_s[:] * w1t
+        hid = _ACT[act](pre)
+        dh = jnp.dot(hid, w2, preferred_element_type=jnp.float32) + b2
+        h_s[:] = jnp.where(pred, h_s[:] + dt * dh, h_s[:])
+        t_s[:] = jnp.where(pred, t_s[:] + dt, t_s[:])
+        return 0
+
+    lax.fori_loop(0, n_sub, body, 0)
+    # drain the in-flight checkpoint DMAs
+    for kk in range(max(0, K_ck - 2), K_ck):
+        ck_dma(kk % 2, kk).wait()
+
+    hout_ref[:] = h_s[:]
+    tout_ref[:] = t_s[:]
+
+
+def _bwd_kernel_ck(ghL_ref, ttgt_ref, base_ref, w1h_ref, w1hT_ref, w1t_ref,
+                   w2_ref, b2_ref, w2T_ref, res_ref,
+                   gh0_ref, gpre_sum_ref, acct_ref, gdh_sum_ref,
+                   dw1h_ref, dw2_ref,
+                   gh_s, gpre_s, acct_s, gdh_s, dw1h_s, dw2_s,
+                   seg_s, ckstage, sems,
+                   *, dt: float, n_sub: int, act: str, scale: str, rt: int,
+                   d_h: int):
+    """Reverse pass over CK-substep segments: prefetch the segment's
+    checkpoint, RECOMPUTE its states into VMEM (seg_s), then walk the
+    segment backwards with the same gradient algebra as _bwd_kernel."""
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+    r0 = r * rt
+
+    gh_s[:] = ghL_ref[:]
+    gpre_s[:] = jnp.zeros_like(gpre_s)
+    acct_s[:] = jnp.zeros_like(acct_s)
+    gdh_s[:] = jnp.zeros_like(gdh_s)
+
+    @pl.when(r == 0)
+    def _():
+        dw1h_s[:] = jnp.zeros_like(dw1h_s)
+        dw2_s[:] = jnp.zeros_like(dw2_s)
+
+    ttgt = ttgt_ref[:]
+    base = base_ref[:]
+    w1h = w1h_ref[:]
+    w1hT = w1hT_ref[:]
+    w1t = w1t_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    w2T = w2T_ref[:]
+
+    is_t = lax.broadcasted_iota(jnp.int32, gh_s.shape, 1) == d_h
+    K_ck = -(-n_sub // CK)
+
+    def ck_dma(slot, k):
+        return pltpu.make_async_copy(
+            res_ref.at[pl.ds(k, 1), pl.ds(r0, rt), :],
+            ckstage.at[slot], sems.at[slot])
+
+    # prefetch the last segment's checkpoint (processed first)
+    ck_dma((K_ck - 1) % 2, K_ck - 1).start()
+
+    def seg_body(si, _):
+        s = K_ck - 1 - si
+        slot = lax.rem(s, 2)
+        ck_dma(slot, s).wait()
+
+        @pl.when(s >= 1)
+        def _():
+            ck_dma(1 - slot, s - 1).start()
+
+        blk = ckstage[slot, 0]
+        h0 = jnp.where(is_t, 0.0, blk)
+        t0 = jnp.sum(jnp.where(is_t, blk, 0.0), axis=1, keepdims=True)
+
+        # ---- recompute the segment's CK entering-states into seg_s ----
+        def re_body(c, carry):
+            h, t = carry
+            seg_s[c] = jnp.where(is_t, t, h)
+            valid = (s * CK + c) < n_sub
+            pred = jnp.logical_and((t + dt) < ttgt, valid)
+            pre = jnp.dot(_SCALE[scale](h), w1h,
+                          preferred_element_type=jnp.float32)
+            pre = pre + base + t * w1t
+            hid = _ACT[act](pre)
+            dh = jnp.dot(hid, w2, preferred_element_type=jnp.float32) + b2
+            return (jnp.where(pred, h + dt * dh, h),
+                    jnp.where(pred, t + dt, t))
+
+        lax.fori_loop(0, CK, re_body, (h0, t0), unroll=True)
+
+        # ---- reverse walk over the segment ----
+        def rev_body(ci, _):
+            c = CK - 1 - ci
+            j = s * CK + c
+            valid = j < n_sub
+            blk = seg_s[c]
+            h_j = jnp.where(is_t, 0.0, blk)
+            t_j = jnp.sum(jnp.where(is_t, blk, 0.0), axis=1, keepdims=True)
+
+            pred = jnp.logical_and((t_j + dt) < ttgt, valid)
+            h_sc = _SCALE[scale](h_j)
+            pre = jnp.dot(h_sc, w1h, preferred_element_type=jnp.float32)
+            pre = pre + base + t_j * w1t
+            hid = _ACT[act](pre)
+
+            g_dh = jnp.where(pred, dt * gh_s[:], 0.0)
+            g_hid = jnp.dot(g_dh, w2T, preferred_element_type=jnp.float32)
+            g_pre = g_hid * _ACT_GRAD[act](pre)
+
+            dw2_s[:] += jax.lax.dot_general(
+                hid, g_dh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw1h_s[:] += jax.lax.dot_general(
+                h_sc, g_pre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gpre_s[:] += g_pre
+            acct_s[:] += t_j * g_pre
+            gdh_s[:] += g_dh
+
+            g_back = jnp.dot(g_pre, w1hT, preferred_element_type=jnp.float32)
+            gh_s[:] = gh_s[:] + g_back * _SCALE_GRAD[scale](h_j)
+            return 0
+
+        lax.fori_loop(0, CK, rev_body, 0, unroll=True)
+        return 0
+
+    lax.fori_loop(0, K_ck, seg_body, 0)
+
+    gh0_ref[:] = gh_s[:]
+    gpre_sum_ref[:] = gpre_s[:]
+    acct_ref[:] = acct_s[:]
+    gdh_sum_ref[:] = gdh_s[:]
+
+    @pl.when(r == n_r - 1)
+    def _():
+        dw1h_ref[:] = dw1h_s[:]
+        dw2_ref[:] = dw2_s[:]
 
 
 # --------------------------------------------------------------------------
@@ -382,6 +582,78 @@ def _forward_call_lean(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
     return hL, tL
 
 
+def _forward_call_ck(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+                     d_h, dt, n_sub, act, scale, interpret):
+    R, Dh_p = h0.shape
+    RT = _row_tile(R, Dh_p)
+    n_r = R // RT
+    K_ck = -(-n_sub // CK)
+    row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    res, hL, tL = pl.pallas_call(
+        functools.partial(_fwd_kernel_ck, dt=dt, n_sub=n_sub, act=act,
+                          scale=scale, rt=RT, d_h=d_h),
+        grid=(n_r,),
+        in_specs=[row(Dh_p), row(1), row(1), row(Dh_p),
+                  full((Dh_p, Dh_p)), full((1, Dh_p)),
+                  full((Dh_p, Dh_p)), full((1, Dh_p))],
+        out_specs=[hbm, row(Dh_p), row(1)],
+        out_shape=[jax.ShapeDtypeStruct((K_ck, R, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),
+                        pltpu.VMEM((RT, 1), jnp.float32),
+                        pltpu.VMEM((2, 1, RT, Dh_p), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row)
+    return res, hL, tL
+
+
+def _backward_call_ck(ghL, res, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+                      d_h, dt, n_sub, act, scale, interpret):
+    R, Dh_p = ghL.shape
+    RT = _row_tile(R, Dh_p)
+    n_r = R // RT
+    row = lambda d: pl.BlockSpec((RT, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_ck, dt=dt, n_sub=n_sub, act=act,
+                          scale=scale, rt=RT, d_h=d_h),
+        grid=(n_r,),
+        in_specs=[row(Dh_p), row(1), row(Dh_p),
+                  full((Dh_p, Dh_p)), full((Dh_p, Dh_p)), full((1, Dh_p)),
+                  full((Dh_p, Dh_p)), full((1, Dh_p)), full((Dh_p, Dh_p)),
+                  hbm],
+        out_specs=[row(Dh_p), row(Dh_p), row(Dh_p), row(Dh_p),
+                   full((Dh_p, Dh_p)), full((Dh_p, Dh_p))],
+        out_shape=[jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_h0
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_pre_sum
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # acc_t
+                   jax.ShapeDtypeStruct((R, Dh_p), jnp.float32),   # g_dh_sum
+                   jax.ShapeDtypeStruct((Dh_p, Dh_p), jnp.float32),
+                   jax.ShapeDtypeStruct((Dh_p, Dh_p), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RT, Dh_p), jnp.float32),   # gh_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # gpre_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # acct_s
+                        pltpu.VMEM((RT, Dh_p), jnp.float32),   # gdh_s
+                        pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
+                        pltpu.VMEM((Dh_p, Dh_p), jnp.float32),
+                        pltpu.VMEM((CK, RT, Dh_p), jnp.float32),  # seg_s
+                        pltpu.VMEM((2, 1, RT, Dh_p), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(ghL, ttgt_col, base, w1h, jnp.swapaxes(w1h, 0, 1), w1t_row,
+      w2, b2_row, jnp.swapaxes(w2, 0, 1), res)
+    return outs
+
+
 def _backward_call(ghL, res, ttgt_col, base, w1h, w1t_row, w2,
                    d_h, dt, n_sub, act, scale, interpret):
     R, Dh_p = ghL.shape
@@ -441,18 +713,24 @@ def _gap_scan(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
 
 def _gap_scan_fwd(h0, t0_col, ttgt_col, base, w1h, w1t_row, w2, b2_row,
                   d_h, dt, n_sub, act, scale, interpret):
-    res, hL, tL = _forward_call(h0, t0_col, ttgt_col, base, w1h,
-                                w1t_row, w2, b2_row, d_h, dt, n_sub, act,
-                                scale, interpret)
-    return (hL, tL), (res, ttgt_col, base, w1h, w1t_row, w2)
+    fwd = _forward_call_ck if _use_remat(n_sub) else _forward_call
+    res, hL, tL = fwd(h0, t0_col, ttgt_col, base, w1h,
+                      w1t_row, w2, b2_row, d_h, dt, n_sub, act,
+                      scale, interpret)
+    return (hL, tL), (res, ttgt_col, base, w1h, w1t_row, w2, b2_row)
 
 
 def _gap_scan_bwd(d_h, dt, n_sub, act, scale, interpret, resids, g):
     ghL, _gtL = g  # t_L cotangent: times are data, no parameter path
-    res, ttgt_col, base, w1h, w1t_row, w2 = resids
-    gh0, gpre_sum, acc_t, gdh_sum, dw1h, dw2 = _backward_call(
-        ghL, res, ttgt_col, base, w1h, w1t_row, w2,
-        d_h, dt, n_sub, act, scale, interpret)
+    res, ttgt_col, base, w1h, w1t_row, w2, b2_row = resids
+    if _use_remat(n_sub):
+        gh0, gpre_sum, acc_t, gdh_sum, dw1h, dw2 = _backward_call_ck(
+            ghL, res, ttgt_col, base, w1h, w1t_row, w2, b2_row,
+            d_h, dt, n_sub, act, scale, interpret)
+    else:
+        gh0, gpre_sum, acc_t, gdh_sum, dw1h, dw2 = _backward_call(
+            ghL, res, ttgt_col, base, w1h, w1t_row, w2,
+            d_h, dt, n_sub, act, scale, interpret)
     g_base = gpre_sum
     g_w1t = jnp.sum(acc_t, axis=0, keepdims=True)          # (1, Dh_p)
     g_b2 = jnp.sum(gdh_sum, axis=0, keepdims=True)         # (1, Dh_p)

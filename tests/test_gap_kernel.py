@@ -262,3 +262,34 @@ def test_gap_kernel_fuzz():
             rel = float(jnp.max(jnp.abs(a - b))) / sc
             assert rel < 1e-3, (trial, K_h, R, d_h, d_x, n_sub, act, scale,
                                 rel)
+
+
+@pytest.mark.parametrize("n_sub", [16, 17, 24])
+def test_remat_boundary_gradients(n_sub):
+    """Full-residual (n_sub <= 2*CK) and sqrt-checkpointed (n_sub > 2*CK)
+    backward paths agree with XLA right at the _use_remat boundary."""
+    from njode_tpu.ops.gap_scan import CK, _use_remat
+    assert _use_remat(2 * CK + 1) and not _use_remat(2 * CK)
+    kw = dict(input_dim=1, hidden_dim=24, output_dim=1, num_moments=2,
+              activation="tanh", dt_ode_step=1.0 / n_sub,
+              max_substeps=n_sub, t_max=1.0)
+    ref = NeuralJumpODE(use_pallas=False, **kw)
+    fused = NeuralJumpODE(use_pallas="interpret", **kw)
+    params = ref.init(jax.random.PRNGKey(0))
+    batch = simulate_batch(jax.random.PRNGKey(2), 4, "black_scholes", 0.15,
+                           n_steps=10)
+
+    def loss(model):
+        def f(p):
+            preds, before = model.apply(p, batch.times, batch.values,
+                                        batch.mask)
+            return nj_ode_loss_dense(batch.values, preds, before, batch.mask,
+                                     moment_weights=(1.0, 10.0))
+        return f
+
+    g1 = jax.grad(loss(ref))(params)
+    g2 = jax.grad(loss(fused))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3
