@@ -13,6 +13,13 @@ from .checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from .ensemble import (
+    ensemble_mean_std,
+    ensemble_predict,
+    init_ensemble,
+    shard_ensemble,
+    train_ensemble,
+)
 from .metrics import conditional_moment_mse, relative_loss
 from .torch_compat import (
     params_from_torch_checkpoint,
@@ -36,6 +43,8 @@ __all__ = [
     "run_experiment", "checkpoint_exists", "load_checkpoint",
     "save_checkpoint", "params_from_torch_checkpoint",
     "params_from_torch_state_dict", "relative_loss", "conditional_moment_mse",
+    "train_ensemble", "init_ensemble", "ensemble_predict",
+    "ensemble_mean_std", "shard_ensemble",
 ]
 if _HAS_PLOTTING:
     __all__ += ["plot_relative_loss", "plot_relative_loss_single",

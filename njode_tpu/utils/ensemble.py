@@ -1,0 +1,164 @@
+"""Vmapped multi-seed ensemble training — a TPU-native capability.
+
+The reference trains one model per invocation; studying seed variance (as
+the NJ-ODE paper does for its error bars) means launching K sequential jobs
+(reference run_array_job.sh pattern).  On TPU the natural formulation is a
+SINGLE program that trains all K ensemble members at once:
+
+* ``jax.vmap`` over a leading seed axis of (params, opt_state, rng) turns
+  the per-member epoch update into one batched program — the K members'
+  matmuls fuse into larger MXU-shaped ops (hidden and batch axes unchanged,
+  K folds into the batch dimension of every dot), so K models cost far less
+  than K sequential runs.
+* The seed axis is embarrassingly parallel: ``shard_ensemble`` places it on
+  a mesh axis and each device (group) trains its members with ZERO
+  cross-member collectives — perfect-scaling model parallelism that the
+  per-member DP ``psum`` composes with.
+* Per-member data streams are independent by default (fresh paths per seed
+  per epoch, generated on device inside the same program), matching what K
+  independent jobs would see; ``share_data=True`` trains all members on the
+  identical stream to isolate init-seed variance.
+
+The per-member update is literally ``Trainer._epoch_update`` (same minibatch
+scan, same loss), so member ``s`` of an ensemble reproduces member ``s`` of
+any other ensemble size bit-for-bit (``test_ensemble.py``).
+
+``ensemble_predict`` + ``ensemble_mean_std`` give the payoff: epistemic
+(seed) uncertainty bands around the conditional-moment predictions, for the
+cost of one forward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..models.jump_ode import NeuralJumpODE
+from .training import Trainer, make_adam
+
+
+def _member_keys(base: jax.Array, n_seeds: int) -> jax.Array:
+    """Per-member keys: member s's key depends only on (base, s), never on
+    n_seeds — so the same member is identical across ensemble sizes."""
+    return jax.vmap(lambda s: jax.random.fold_in(base, s))(
+        jnp.arange(n_seeds))
+
+
+def init_ensemble(model: NeuralJumpODE, n_seeds: int, seed: int = 0):
+    """Stacked params for K independently-initialised members: every leaf
+    gains a leading (K,) axis."""
+    keys = _member_keys(jax.random.PRNGKey(seed), n_seeds)
+    return jax.vmap(model.init)(keys)
+
+
+def shard_ensemble(mesh, tree, axis: str = "model"):
+    """Place the leading seed axis of every leaf on a mesh axis.
+
+    Members are independent, so this is pure model parallelism: no
+    collectives cross the seed axis.  Leaves whose leading dim doesn't
+    divide the axis are replicated (keeps odd K working).
+    """
+    from ..parallel.mesh import _global_put
+
+    n = mesh.shape[axis]
+
+    def place(x):
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 1:
+            return _global_put(x, mesh, P(axis, *([None] * (x.ndim - 1))))
+        return _global_put(x, mesh, P())
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
+                   n_epochs: int, n_trajectories: int = 1000,
+                   batch_size: Optional[int] = 128, obs_fraction: float = 0.1,
+                   optimizer: Optional[optax.GradientTransformation] = None,
+                   seed: int = 0, data_seed: int = 0, shuffle: bool = True,
+                   share_data: bool = False, mesh=None,
+                   ignore_first_continuity: bool = True,
+                   moment_weights=None, variance_method: str = "direct",
+                   extended_moments: bool = False,
+                   **process_kwargs):
+    """Train K ensemble members in ONE jitted whole-run program.
+
+    Returns ``(params_stack, losses)`` where every params leaf has a leading
+    (K,) axis and ``losses`` is (n_epochs, K) per-member mean epoch loss.
+
+    ``mesh`` (optional): shard the seed axis over the mesh's 'model' axis
+    (see :func:`shard_ensemble`); per-member batches stay unsharded — the
+    seed axis IS the parallelism.
+    """
+    from ..simulation import simulate_batch
+
+    tx = optimizer if optimizer is not None else make_adam(1e-3, 5e-4)
+    # a Trainer only for its traced _epoch_update (one pytree of config);
+    # its own params/opt_state are unused.
+    trainer = Trainer(model, optimizer=tx,
+                      ignore_first_continuity=ignore_first_continuity,
+                      moment_weights=moment_weights,
+                      variance_method=variance_method,
+                      extended_moments=extended_moments)
+
+    params = init_ensemble(model, n_seeds, seed=seed)
+    opt_state = jax.vmap(tx.init)(params)
+    if mesh is not None:
+        params = shard_ensemble(mesh, params)
+        opt_state = shard_ensemble(mesh, opt_state)
+
+    data_base = jax.random.PRNGKey(data_seed)
+    step_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5eed)
+
+    def member_data_key(epoch, s):
+        k = jax.random.fold_in(data_base, epoch)
+        return k if share_data else jax.random.fold_in(k, s)
+
+    def gen(key):
+        b = simulate_batch(key, n_trajectories, process_type, obs_fraction,
+                           **process_kwargs)
+        return b.times, b.values, b.mask
+
+    def member_update(p, s_state, times, values, mask, key):
+        return trainer._epoch_update(p, s_state, times, values, mask, key,
+                                     n_trajectories, batch_size, shuffle)
+
+    seeds = jnp.arange(n_seeds)
+
+    def epoch_body(carry, e):
+        p, s_state = carry
+        dkeys = jax.vmap(lambda s: member_data_key(e, s))(seeds)
+        times, values, mask = jax.vmap(gen)(dkeys)          # (K, n, N, ...)
+        ukeys = jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.fold_in(step_base, e), s)
+        )(seeds)
+        p, s_state, loss = jax.vmap(member_update)(p, s_state, times,
+                                                   values, mask, ukeys)
+        return (p, s_state), loss                            # loss: (K,)
+
+    def run(p, s_state):
+        (p, s_state), losses = lax.scan(epoch_body, (p, s_state),
+                                        jnp.arange(n_epochs))
+        return p, losses
+
+    params, losses = jax.jit(run)(params, opt_state)
+    return params, losses
+
+
+def ensemble_predict(model: NeuralJumpODE, params_stack, times, values,
+                     mask=None):
+    """Forward every member on the same batch.
+
+    Returns ``(preds, preds_before)`` shaped (K, B, N, d_y, M).
+    """
+    return jax.vmap(model.apply, in_axes=(0, None, None, None))(
+        params_stack, times, values, mask)
+
+
+def ensemble_mean_std(preds: jnp.ndarray):
+    """Epistemic (seed) uncertainty: mean and std over the member axis."""
+    return jnp.mean(preds, axis=0), jnp.std(preds, axis=0)

@@ -41,6 +41,13 @@ def test_generative_sampling_example():
     assert "conditional continuation" in out
 
 
+def test_ensemble_training_example():
+    out = _run_example("ensemble_training.py")
+    assert "final losses per member" in out
+    assert "ensemble-mean abs error" in out
+    assert "2 std bands" in out
+
+
 def test_serving_example():
     out = _run_example("serving_example.py")
     assert "trained: loss" in out
