@@ -65,6 +65,13 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="mixed-precision matmul dtype (params stay f32); "
                          "bfloat16 pays off at hidden-dim >= 256")
+    ap.add_argument("--obs-only", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="sample values exactly at the observation times "
+                         "instead of simulating the whole grid (BS/OU have "
+                         "exact transition laws, so the training-data "
+                         "distribution is identical); auto enables it for "
+                         "those processes")
     ap.add_argument("--pallas", action="store_true",
                     help="FORCE the Pallas kernels on (use_pallas=True) for "
                          "A/B experiments; the default pure-XLA path "
@@ -103,9 +110,12 @@ def main():
 
     from njode_tpu import NeuralJumpODE
     from njode_tpu.models import nj_ode_loss_dense
-    from njode_tpu.simulation import simulate_batch
+    from njode_tpu.simulation import simulate_batch, supports_obs_only
     from njode_tpu.simulation.moments import moments_at_obs
     from njode_tpu.utils import make_adam
+
+    obs_only = (args.obs_only == "on"
+                or (args.obs_only == "auto" and supports_obs_only(args.process)))
 
     from njode_tpu.utils.backend import ensure_backend
     devices = ensure_backend()
@@ -140,7 +150,8 @@ def main():
     def epoch_body(carry, e):
         params, opt_state, key = carry
         k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
-        batch = simulate_batch(k_data, n, args.process, args.obs_fraction, **P)
+        batch = simulate_batch(k_data, n, args.process, args.obs_fraction,
+                               obs_only=obs_only, **P)
         times, values, mask = batch.times, batch.values, batch.mask
         perm = jax.random.permutation(k_perm, n)
         idx = jnp.concatenate(

@@ -116,6 +116,13 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Model-init / shuffle seed')
     parser.add_argument('--data-seed', type=int, default=0,
                         help='Data-generation seed')
+    parser.add_argument('--obs-only', type=str, default='off',
+                        choices=['auto', 'on', 'off'],
+                        help='Sample values exactly at the observation times '
+                             'instead of simulating the whole grid (same '
+                             'data law, ~n_grid/n_obs cheaper generation). '
+                             'auto = on for processes with exact transition '
+                             'laws (BS, OU), off otherwise')
     parser.add_argument('--ode-solver', type=str, default='euler',
                         choices=['euler', 'heun', 'rk4'],
                         help='Latent-ODE integrator (euler = reference '
@@ -138,6 +145,17 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Override the run directory name under runs/ '
                              '(lets sweep configs run concurrently without '
                              'colliding)')
+
+
+def _resolve_obs_only(choice: str, process_type: str) -> bool:
+    """'auto' -> exact observation-time sampling where a transition law
+    exists (BS/OU); 'on' requires one (simulate_batch raises otherwise)."""
+    if choice == "on":
+        return True
+    if choice == "auto":
+        from njode_tpu.simulation import supports_obs_only
+        return supports_obs_only(process_type)
+    return False
 
 
 def build_config(args, experiment_name: str, process_type: str,
@@ -183,6 +201,7 @@ def build_config(args, experiment_name: str, process_type: str,
             "n_val": args.n_val,
             "obs_fraction": args.obs_fraction,
             "cache_data": args.cache_data,
+            "obs_only": _resolve_obs_only(args.obs_only, process_type),
             "T": args.T,
             "n_steps": args.n_steps,
             **data_params,

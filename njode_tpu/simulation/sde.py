@@ -251,6 +251,76 @@ def subsample_random_grid_points(times, values, obs_fraction: float = 0.1,
 
 
 # --------------------------------------------------------------------------
+# exact observation-time sampling (skip the unobserved grid)
+# --------------------------------------------------------------------------
+#
+# Training only ever consumes the subsampled observations, yet the grid
+# generators simulate every grid point (n_steps+1) and discard all but
+# n_obs of them.  Black-Scholes and OU have EXACT transition laws over an
+# arbitrary gap, so the observed values can be sampled directly at the
+# observation times — distribution-identical to grid-simulate-then-subsample
+# (both grid discretizations are exact; reference data_generation.py:30-44,
+# :80-92) at 1/(n_grid/n_obs) the generation cost.  Measured: the scaled
+# recipe's data generation drops ~25x (BENCH_NOTES.md).
+
+OBS_ONLY_PROCESSES = ("black_scholes", "ornstein_uhlenbeck")
+
+
+def supports_obs_only(process_type: str) -> bool:
+    """True when the process has an exact arbitrary-gap transition law."""
+    return process_type in OBS_ONLY_PROCESSES
+
+
+def bs_values_at(key: jax.Array, times: jnp.ndarray, mu: float = 0.0,
+                 sigma: float = 0.2, x0: float = 1.0,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Exact BS samples at per-row sorted times (B, N) with times[:, 0] == 0.
+
+    One lognormal increment per inter-observation gap:
+    ``log X_j = log X_{j-1} + (mu - sigma^2/2) dt_j + sigma sqrt(dt_j) xi_j``.
+    """
+    times = times.astype(dtype)
+    dts = times[:, 1:] - times[:, :-1]                       # (B, N-1), > 0
+    xi = jax.random.normal(key, dts.shape, dtype)
+    inc = (mu - 0.5 * sigma ** 2) * dts + sigma * jnp.sqrt(dts) * xi
+    logX = jnp.concatenate(
+        [jnp.zeros((times.shape[0], 1), dtype), jnp.cumsum(inc, axis=1)],
+        axis=1) + jnp.log(jnp.asarray(x0, dtype))
+    return jnp.exp(logX)
+
+
+def ou_values_at(key: jax.Array, times: jnp.ndarray, theta: float = 1.0,
+                 mu: float = 0.0, sigma: float = 0.3, x0: float = 0.0,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Exact OU samples at per-row sorted times (B, N) with times[:, 0] == 0.
+
+    Per-gap exact AR(1): ``X_j = a_j X_{j-1} + mu (1 - a_j) + c_j xi_j`` with
+    ``a_j = exp(-theta dt_j)``, ``c_j = sigma sqrt((1 - a_j^2) / (2 theta))``
+    — the same affine parallel-prefix as :func:`ou_paths`, with per-gap
+    coefficients instead of a constant one.
+    """
+    times = times.astype(dtype)
+    dts = times[:, 1:] - times[:, :-1]                       # (B, N-1)
+    if theta > 0:
+        A = jnp.exp(-theta * dts)
+        c = sigma * jnp.sqrt((1.0 - jnp.exp(-2.0 * theta * dts))
+                             / (2.0 * theta))
+    else:
+        A = jnp.ones_like(dts)
+        c = sigma * jnp.sqrt(dts)
+    u = mu * (1.0 - A) + c * jax.random.normal(key, dts.shape, dtype)
+
+    def combine(l, r):
+        al, ul = l
+        ar, ur = r
+        return al * ar, ar * ul + ur
+
+    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    return jnp.concatenate(
+        [jnp.full((times.shape[0], 1), x0, dtype), A_c * x0 + U_c], axis=1)
+
+
+# --------------------------------------------------------------------------
 # batched trajectory construction
 # --------------------------------------------------------------------------
 
@@ -291,7 +361,8 @@ PROCESS_TYPES = ("black_scholes", "ornstein_uhlenbeck", "heston", "hybrid_ou_bs"
 
 
 def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
-                   obs_fraction: float = 0.1, **process_kwargs) -> TrajectoryBatch:
+                   obs_fraction: float = 0.1, obs_only: bool = False,
+                   **process_kwargs) -> TrajectoryBatch:
     """Simulate B paths on-device and subsample observations. Jit-friendly.
 
     This is the TPU-native replacement for ``create_trajectory_batch``
@@ -299,8 +370,34 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
     dense static-shape output.  Heston's V and hybrid's switch time are kept
     in the batch (the reference discards them, :277,:279) but ``values``
     contains only the observed X, matching the reference.
+
+    ``obs_only=True`` (BS/OU only, see :func:`supports_obs_only`) samples the
+    values EXACTLY at the observation times and skips the unobserved grid:
+    same observation times as the grid path for the same key, same value
+    law, ~n_grid/n_obs cheaper.  ``batch.paths`` is None in this mode (use
+    the default for plotting/dense-grid work).
     """
     k_path, k_obs = jax.random.split(key)
+    if obs_only:
+        if not supports_obs_only(process_type):
+            raise ValueError(
+                f"obs_only sampling needs an exact transition law; "
+                f"'{process_type}' is not in {OBS_ONLY_PROCESSES}")
+        T = process_kwargs.get("T", 1.0)
+        n_steps = process_kwargs.get("n_steps", 100)
+        grid_times = jnp.linspace(0.0, T, n_steps + 1, dtype=jnp.float32)
+        obs_idx = sample_obs_indices(k_obs, n_trajectories, n_steps + 1,
+                                     obs_fraction)
+        times = grid_times[obs_idx]                            # (B, N)
+        kw = {k: v for k, v in process_kwargs.items()
+              if k not in ("T", "n_steps")}
+        if process_type == "black_scholes":
+            values = bs_values_at(k_path, times, **kw)
+        else:
+            values = ou_values_at(k_path, times, **kw)
+        mask = jnp.ones(times.shape, dtype=bool)
+        return TrajectoryBatch(times, values[..., None], mask, grid_times,
+                               obs_idx, None, None)
     switch_times = None
     from .registry import get_paths_fn
     custom = get_paths_fn(process_type)

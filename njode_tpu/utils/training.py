@@ -75,15 +75,18 @@ class DataLoader:
     """
 
     def __init__(self, key: jax.Array, n_trajectories: int, process_type: str,
-                 obs_fraction: float, cache: bool, process_kwargs: dict):
+                 obs_fraction: float, cache: bool, process_kwargs: dict,
+                 obs_only: bool = False):
         self.key = key
         self.n_trajectories = n_trajectories
         self.process_type = process_type
         self.obs_fraction = obs_fraction
         self.cache = cache
         self.process_kwargs = dict(process_kwargs)
+        self.obs_only = obs_only
         self._gen = jax.jit(lambda k: simulate_batch(
-            k, n_trajectories, process_type, obs_fraction, **self.process_kwargs))
+            k, n_trajectories, process_type, obs_fraction,
+            obs_only=obs_only, **self.process_kwargs))
         self._cached: Optional[TrajectoryBatch] = None
 
     def __call__(self, epoch: int = 0) -> TrajectoryBatch:
@@ -97,7 +100,8 @@ class DataLoader:
         """Generate inside an enclosing jit (epoch may be a tracer)."""
         return simulate_batch(jax.random.fold_in(self.key, epoch),
                               self.n_trajectories, self.process_type,
-                              self.obs_fraction, **self.process_kwargs)
+                              self.obs_fraction, obs_only=self.obs_only,
+                              **self.process_kwargs)
 
 
 def create_data_loaders(process_type: str = "black_scholes",
@@ -105,17 +109,22 @@ def create_data_loaders(process_type: str = "black_scholes",
                         obs_fraction: float = 0.1,
                         cache_data: bool = True,
                         base_seed: int = 0,
+                        obs_only: bool = False,
                         **process_kwargs):
     """Training/validation generators (reference utils/training.py:311-346).
 
     The validation loader is always cached (the reference regenerates the
-    identical batch each epoch when cache_data=False — pure waste)."""
+    identical batch each epoch when cache_data=False — pure waste).
+
+    ``obs_only=True`` (BS/OU) samples values exactly at the observation
+    times and skips the unobserved grid — same training-data law, ~n_grid /
+    n_obs cheaper generation (see ``simulate_batch``)."""
     key = jax.random.PRNGKey(base_seed)
     k_train, k_val = jax.random.split(key)
     train_fn = DataLoader(k_train, n_train, process_type, obs_fraction,
-                          cache_data, process_kwargs)
+                          cache_data, process_kwargs, obs_only=obs_only)
     val_fn = DataLoader(k_val, n_val, process_type, obs_fraction,
-                        True, process_kwargs)
+                        True, process_kwargs, obs_only=obs_only)
     return train_fn, val_fn
 
 

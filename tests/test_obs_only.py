@@ -1,0 +1,113 @@
+"""Exact observation-time sampling (simulate_batch(obs_only=True)).
+
+Pins: same observation times as the grid path for the same key, exact
+marginal law (vs closed form AND vs grid-simulate-then-subsample stats),
+deterministic t=0 value, unsupported-process error, end-to-end training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from njode_tpu import NeuralJumpODE, nj_ode_loss
+from njode_tpu.simulation import simulate_batch, supports_obs_only
+from njode_tpu.utils import make_adam
+
+BS = dict(T=1.0, n_steps=50, mu=0.1, sigma=0.5, x0=1.0)
+OU = dict(T=1.0, n_steps=50, theta=1.0, mu=0.5, sigma=0.3, x0=0.0)
+
+
+def test_supports():
+    assert supports_obs_only("black_scholes")
+    assert supports_obs_only("ornstein_uhlenbeck")
+    assert not supports_obs_only("heston")
+    assert not supports_obs_only("hybrid_ou_bs")
+
+
+def test_same_obs_times_as_grid_mode():
+    key = jax.random.PRNGKey(3)
+    a = simulate_batch(key, 64, "black_scholes", 0.2, obs_only=True, **BS)
+    b = simulate_batch(key, 64, "black_scholes", 0.2, **BS)
+    np.testing.assert_array_equal(np.asarray(a.obs_idx), np.asarray(b.obs_idx))
+    np.testing.assert_allclose(np.asarray(a.times), np.asarray(b.times))
+    assert a.paths is None
+    # t=0 observation is deterministic x0
+    np.testing.assert_allclose(np.asarray(a.values[:, 0, 0]), BS["x0"])
+
+
+@pytest.mark.parametrize("process,kw", [("black_scholes", BS),
+                                        ("ornstein_uhlenbeck", OU)])
+def test_marginal_law_matches_grid_sampling(process, kw):
+    """Terminal-value stats: obs_only == grid-subsample == closed form."""
+    n = 20000
+    a = simulate_batch(jax.random.PRNGKey(0), n, process, 0.1,
+                       obs_only=True, **kw)
+    b = simulate_batch(jax.random.PRNGKey(1), n, process, 0.1, **kw)
+    xa = np.asarray(a.values[:, -1, 0])      # value at T (endpoint forced)
+    xb = np.asarray(b.values[:, -1, 0])
+    if process == "black_scholes":
+        m = kw["x0"] * np.exp(kw["mu"] * kw["T"])
+        v = kw["x0"] ** 2 * np.exp(2 * kw["mu"] * kw["T"]) * (
+            np.exp(kw["sigma"] ** 2 * kw["T"]) - 1.0)
+    else:
+        e = np.exp(-kw["theta"] * kw["T"])
+        m = kw["x0"] * e + kw["mu"] * (1 - e)
+        v = kw["sigma"] ** 2 / (2 * kw["theta"]) * (1 - e ** 2)
+    for x in (xa, xb):
+        np.testing.assert_allclose(x.mean(), m, rtol=0.05, atol=0.01)
+        np.testing.assert_allclose(x.var(), v, rtol=0.10, atol=0.01)
+    # and the two samplers agree with each other
+    np.testing.assert_allclose(xa.mean(), xb.mean(), rtol=0.05, atol=0.01)
+    np.testing.assert_allclose(xa.var(), xb.var(), rtol=0.12, atol=0.01)
+
+
+def test_intermediate_time_law():
+    """Not just the endpoint: stats at an interior observation time agree."""
+    n = 20000
+    a = simulate_batch(jax.random.PRNGKey(2), n, "black_scholes", 0.2,
+                       obs_only=True, **BS)
+    t = np.asarray(a.times[:, 1])            # first interior obs per row
+    x = np.asarray(a.values[:, 1, 0])
+    # E[X_t] = x0 e^{mu t} is t-dependent per row: check the studentized
+    # residual of log X against its exact per-row normal law
+    mu_log = np.log(BS["x0"]) + (BS["mu"] - 0.5 * BS["sigma"] ** 2) * t
+    sd_log = BS["sigma"] * np.sqrt(t)
+    z = (np.log(x) - mu_log) / np.maximum(sd_log, 1e-12)
+    assert abs(z.mean()) < 0.05
+    np.testing.assert_allclose(z.var(), 1.0, rtol=0.05)
+
+
+def test_unsupported_raises():
+    with pytest.raises(ValueError, match="obs_only"):
+        simulate_batch(jax.random.PRNGKey(0), 8, "heston", 0.1,
+                       obs_only=True, T=1.0, n_steps=20)
+
+
+def test_trains_end_to_end():
+    import optax
+    model = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_adam(1e-2)
+    opt = tx.init(params)
+    batch = simulate_batch(jax.random.PRNGKey(1), 64, "black_scholes", 0.2,
+                           obs_only=True, **BS)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pr, pb = model.apply(p, batch.times, batch.values, batch.mask)
+            return nj_ode_loss(batch.times, batch.values, pr, pb,
+                               ignore_first_continuity=True,
+                               moment_weights=[1.0, 10.0], mask=batch.mask)
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
