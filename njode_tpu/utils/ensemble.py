@@ -81,6 +81,7 @@ def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
                    optimizer: Optional[optax.GradientTransformation] = None,
                    seed: int = 0, data_seed: int = 0, shuffle: bool = True,
                    share_data: bool = False, mesh=None,
+                   obs_only: bool = False,
                    ignore_first_continuity: bool = True,
                    moment_weights=None, variance_method: str = "direct",
                    extended_moments: bool = False,
@@ -120,7 +121,7 @@ def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
 
     def gen(key):
         b = simulate_batch(key, n_trajectories, process_type, obs_fraction,
-                           **process_kwargs)
+                           obs_only=obs_only, **process_kwargs)
         return b.times, b.values, b.mask
 
     def member_update(p, s_state, times, values, mask, key):
