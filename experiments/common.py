@@ -235,6 +235,14 @@ def run_and_plot(config: dict, process_type: str, process_params: dict,
         results = run_experiment(config, save_dir=save_dir)
 
     save_path = Path(results["save_path"])
+    try:
+        if jax.process_index() != 0:
+            # only process 0 wrote history.json (run_experiment gates its
+            # artifact writes); worker plots would read a file that may not
+            # exist yet and race on the same .png paths
+            make_plots = False
+    except Exception:
+        pass
     if make_plots:
         from njode_tpu.models import NeuralJumpODE
         from njode_tpu.utils.checkpoint import load_params

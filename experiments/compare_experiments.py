@@ -92,15 +92,20 @@ def _plot_sweep(rows, png_path):
     import matplotlib.pyplot as plt
     import numpy as np
 
-    hiddens = sorted({r["hidden_dim"] for r in rows if r["hidden_dim"]})
+    hiddens = sorted({r["hidden_dim"] for r in rows
+                  if r["hidden_dim"] is not None})
     layers = sorted({r["n_hidden_layers"] for r in rows
-                     if r["n_hidden_layers"]})
+                     if r["n_hidden_layers"] is not None})
     by_key = {(r["hidden_dim"], r["n_hidden_layers"]): r for r in rows}
     full_grid = (len(hiddens) > 1 and len(layers) > 1
                  and all((h, l) in by_key for h in hiddens for l in layers))
 
     if full_grid:
-        grid = np.array([[by_key[(h, l)]["final_val_loss"] or np.nan
+        def _val(h, l):
+            v = by_key[(h, l)]["final_val_loss"]
+            return np.nan if v is None else v
+
+        grid = np.array([[_val(h, l)
                           for l in layers] for h in hiddens])
         fig, ax = plt.subplots(figsize=(1.6 * len(layers) + 2,
                                         1.2 * len(hiddens) + 2))

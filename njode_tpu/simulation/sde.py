@@ -267,7 +267,15 @@ OBS_ONLY_PROCESSES = ("black_scholes", "ornstein_uhlenbeck")
 
 
 def supports_obs_only(process_type: str) -> bool:
-    """True when the process has an exact arbitrary-gap transition law."""
+    """True when the process has an exact arbitrary-gap transition law.
+
+    A custom generator registered under a built-in name takes priority in
+    ``simulate_batch`` (registry first), so an overridden name does NOT
+    support obs_only — its law is whatever the override simulates.
+    """
+    from .registry import get_paths_fn
+    if get_paths_fn(process_type) is not None:
+        return False
     return process_type in OBS_ONLY_PROCESSES
 
 
@@ -382,7 +390,8 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
         if not supports_obs_only(process_type):
             raise ValueError(
                 f"obs_only sampling needs an exact transition law; "
-                f"'{process_type}' is not in {OBS_ONLY_PROCESSES}")
+                f"'{process_type}' is not in {OBS_ONLY_PROCESSES} (or is "
+                f"overridden by a registered custom generator)")
         T = process_kwargs.get("T", 1.0)
         n_steps = process_kwargs.get("n_steps", 100)
         grid_times = jnp.linspace(0.0, T, n_steps + 1, dtype=jnp.float32)

@@ -28,21 +28,29 @@ run_one() {
   echo "=== done: hidden_dim=$hidden n_hidden_layers=$layers ==="
 }
 
-batch=()
-flush() {
-  local p
-  for p in "${batch[@]}"; do
-    wait "$p" || { echo "sweep config failed (see logs/)"; exit 1; }
-  done
-  batch=()
-}
+# rolling pool: whenever JOBS configs are in flight, wait for ANY one to
+# finish before launching the next (no batch barrier — a slow config never
+# idles the other slots)
+fail=0
 for hidden in 32 50 100; do
   for layers in 1 2 3; do
+    while [ "$(jobs -rp | wc -l)" -ge "$JOBS" ]; do
+      wait -n || fail=1
+      [ "$fail" -ne 0 ] && break 3
+    done
     run_one "$hidden" "$layers" "$@" &
-    batch+=($!)
-    if [ "${#batch[@]}" -ge "$JOBS" ]; then flush; fi
   done
 done
-flush
+while [ "$(jobs -rp | wc -l)" -gt 0 ]; do
+  wait -n || fail=1
+done
+if [ "$fail" -ne 0 ]; then
+  # stop the siblings still running before reporting failure
+  remaining="$(jobs -rp)"
+  [ -n "$remaining" ] && kill $remaining 2>/dev/null
+  wait 2>/dev/null || true
+  echo "sweep config failed (see logs/)"
+  exit 1
+fi
 
 python experiments/compare_experiments.py --sweep 'runs/sweep_h*_l*'

@@ -84,6 +84,27 @@ def test_unsupported_raises():
                        obs_only=True, T=1.0, n_steps=20)
 
 
+def test_registry_override_disables_obs_only():
+    """A custom generator registered under a built-in name wins in
+    simulate_batch, so obs_only must refuse (its exact law no longer
+    describes the data)."""
+    from njode_tpu.simulation.registry import _PATHS, register_process
+
+    def fake_bs(key, n_paths, T=1.0, n_steps=20, **kw):
+        times = jnp.linspace(0.0, T, n_steps + 1)
+        return times, jnp.ones((n_paths, n_steps + 1))
+
+    register_process("black_scholes", fake_bs)
+    try:
+        assert not supports_obs_only("black_scholes")
+        with pytest.raises(ValueError, match="obs_only"):
+            simulate_batch(jax.random.PRNGKey(0), 4, "black_scholes", 0.2,
+                           obs_only=True, T=1.0, n_steps=20)
+    finally:
+        del _PATHS["black_scholes"]
+    assert supports_obs_only("black_scholes")
+
+
 def test_trains_end_to_end():
     import optax
     model = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
