@@ -2,10 +2,15 @@
 # Scaled configuration (BASELINE.json config 5): 100k trajectories,
 # obs_fraction=0.02, hidden_dim=256, fresh on-device generation per epoch —
 # paths never leave HBM.  Shard over all local devices with --data-parallel.
+# bfloat16 + exact observation-time sampling are on by default here: both
+# measured faster at this scale with unchanged-or-better validation quality
+# (BENCH_NOTES.md scaled-recipe studies); pass --compute-dtype float32 /
+# --obs-only off to override.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p logs
 python -u experiments/experiment_black_scholes.py \
     --n-train 100000 --n-val 5000 --n-epochs 100 --batch-size 4096 \
     --hidden-dim 256 --obs-fraction 0.02 --num-moments 2 \
+    --compute-dtype bfloat16 --obs-only auto \
     --print-every 5 "$@" 2>&1 | tee "logs/scaled_sweep_$(date +%Y%m%d_%H%M%S).log"
