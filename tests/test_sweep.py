@@ -98,3 +98,52 @@ def test_concurrent_sweep_configs(tmp_path):
     with open(tmp_path / "runs" / "sweep_results.csv") as f:
         rows = list(csv.DictReader(f))
     assert {row["run"] for row in rows} == {"sweep_h8_l1", "sweep_h12_l1"}
+
+
+def _script_env(tmp_path, with_pythonpath=True):
+    env = _env()
+    if not with_pythonpath:
+        env.pop("PYTHONPATH", None)
+    env["SWEEP_JOBS"] = "3"
+    return env
+
+
+def _copy_tree(tmp_path):
+    """run_sweep.sh cds to its parent dir; run a COPY so repo runs/ stays
+    clean while PYTHONPATH still resolves njode_tpu from the repo."""
+    import shutil
+    shutil.copytree(REPO / "scripts", tmp_path / "scripts")
+    shutil.copytree(REPO / "experiments", tmp_path / "experiments")
+
+
+def test_run_sweep_script_end_to_end(tmp_path):
+    """The ACTUAL run_sweep.sh: 9 configs through the rolling pool, then
+    aggregation into runs/sweep_results.{csv,png}."""
+    _copy_tree(tmp_path)
+    r = subprocess.run(
+        ["bash", str(tmp_path / "scripts" / "run_sweep.sh"), *TINY],
+        cwd=tmp_path, env=_script_env(tmp_path), capture_output=True,
+        text=True, timeout=540)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    runs = tmp_path / "runs"
+    names = {f"sweep_h{h}_l{l}" for h in (32, 50, 100) for l in (1, 2, 3)}
+    assert names <= {p.name for p in runs.iterdir()}
+    with open(runs / "sweep_results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert {row["run"] for row in rows} == names
+    assert (runs / "sweep_results.png").exists()
+
+
+def test_run_sweep_script_failure_aborts(tmp_path):
+    """A failing config stops the sweep: nonzero exit, no stragglers, and
+    no configs beyond the first in-flight batch are launched."""
+    _copy_tree(tmp_path)
+    # without PYTHONPATH the experiment subprocesses can't import njode_tpu
+    r = subprocess.run(
+        ["bash", str(tmp_path / "scripts" / "run_sweep.sh"), *TINY],
+        cwd=tmp_path, env=_script_env(tmp_path, with_pythonpath=False),
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "sweep config failed" in r.stdout + r.stderr
+    launched = (r.stdout + r.stderr).count("=== sweep:")
+    assert launched <= 4  # first pool (3) + at most one more slot
