@@ -78,6 +78,22 @@ def test_sharded_ensemble_matches_unsharded():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_ensemble_checkpoint_roundtrip(tmp_path):
+    """Stacked ensemble params survive the standard checkpoint path (the
+    leading seed axis is just another pytree-leaf dimension)."""
+    from njode_tpu.utils.checkpoint import load_params, save_checkpoint
+
+    model = NeuralJumpODE(**MODEL_KW)
+    params = init_ensemble(model, 3, seed=0)
+    path = tmp_path / "ensemble.ckpt"
+    save_checkpoint(str(path), params, opt_state={},
+                    histories={"train_loss": []})
+    restored = load_params(str(path), params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ensemble_predict_and_uncertainty():
     model = NeuralJumpODE(**MODEL_KW)
     params = init_ensemble(model, 4, seed=0)
