@@ -149,17 +149,23 @@ def hybrid_ou_bs_paths(key: jax.Array, n_paths: int, theta_ou: float = 1.0,
     bs_drift = (mu_bs - 0.5 * sigma_bs ** 2) * dt
     bs_noise = sigma_bs * math.sqrt(dt) * jax.random.normal(k_bs, (n_steps, n_paths), dtype)
 
-    def step(X, inp):
-        i, n_ou, n_bs = inp
-        is_ou = i < switch_idx  # (B,)
-        X_ou = X * a + b + n_ou
-        X_bs = X * jnp.exp(bs_drift + n_bs)
-        X_n = jnp.where(is_ou, X_ou, X_bs)
-        return X_n, X_n
+    # Every step is affine in X in BOTH regimes — OU: X*a + (b + noise);
+    # BS: X*exp(drift + noise) + 0 — so the whole path is an affine
+    # parallel prefix (same combine as ou_paths), O(log n) depth instead of
+    # a sequential scan. The per-step regime select moves into the
+    # coefficients; continuity at the switch is unchanged.
+    is_ou = jnp.arange(n_steps)[:, None] < switch_idx[None, :]  # (T, B)
+    A = jnp.where(is_ou, jnp.asarray(a, dtype), jnp.exp(bs_drift + bs_noise))
+    U = jnp.where(is_ou, b + ou_noise, jnp.zeros((), dtype))
 
+    def combine(l, r):
+        al, ul = l
+        ar, ur = r
+        return al * ar, ar * ul + ur
+
+    A_c, U_c = lax.associative_scan(combine, (A, U), axis=0)
     X0 = jnp.full((n_paths,), x0, dtype)
-    _, Xs = lax.scan(step, X0, (jnp.arange(n_steps), ou_noise, bs_noise))
-    X = jnp.concatenate([X0[None], Xs], axis=0).T
+    X = jnp.concatenate([X0[None], A_c * x0 + U_c], axis=0).T
     return times, X, sw
 
 
