@@ -103,21 +103,24 @@ def heston_paths(key: jax.Array, n_paths: int, mu: float = 0.0,
     dW1 = sdt * z1
     dW2 = sdt * (rho * z1 + math.sqrt(1.0 - rho ** 2) * z2)
 
-    def step(carry, noise):
-        X, V = carry
-        dw1, dw2 = noise
-        V_c = jnp.maximum(V, 1e-6)
-        sV = jnp.sqrt(V_c)
-        X_n = X + mu * X * dt + sV * X * dw1
+    # Only the variance recurrence is nonlinear (sqrt + clamp) and needs a
+    # sequential scan; given V, the price step is multiplicative —
+    # X_{n+1} = X_n * (1 + mu dt + sqrt(V_n) dW1) — so X is a parallel
+    # cumulative product over per-step factors (O(log n) depth).
+    def v_step(V, dw2):
+        sV = jnp.sqrt(jnp.maximum(V, 1e-6))
         V_n = jnp.maximum(V + kappa * (theta - V) * dt + xi * sV * dw2, 1e-6)
-        return (X_n, V_n), (X_n, V_n)
+        return V_n, V_n
 
-    X0 = jnp.full((n_paths,), x0, dtype)
     V0 = jnp.full((n_paths,), v0, dtype)
-    _, (Xs, Vs) = lax.scan(step, (X0, V0), (dW1, dW2))
-    X = jnp.concatenate([X0[None], Xs], axis=0).T  # (B, n+1)
-    V = jnp.concatenate([V0[None], Vs], axis=0).T
-    return times, X, V
+    _, Vs = lax.scan(v_step, V0, dW2)
+    V_all = jnp.concatenate([V0[None], Vs], axis=0)           # (n+1, B)
+    sV = jnp.sqrt(jnp.maximum(V_all[:-1], 1e-6))              # V_n at step n
+    factors = 1.0 + mu * dt + sV * dW1                        # (n, B)
+    X0 = jnp.full((n_paths,), x0, dtype)
+    X = jnp.concatenate(
+        [X0[None], x0 * jnp.cumprod(factors, axis=0)], axis=0).T
+    return times, X, V_all.T
 
 
 def hybrid_ou_bs_paths(key: jax.Array, n_paths: int, theta_ou: float = 1.0,
