@@ -55,12 +55,19 @@ def plot_single_trajectory_with_condexp(model, params, process_type: str,
                                         process_params: dict,
                                         obs_fraction: float = 0.1,
                                         seed: int = 123,
-                                        save_path: Optional[str] = None):
+                                        save_path: Optional[str] = None,
+                                        ensemble_params=None):
     """Figure-1 style plot (reference utils/plotting.py:43-309).
 
     Simulates one path, subsamples observations, overlays: true path, model
     mean (±2σ bands when variance is learned), analytic conditional
     expectation (±2σ), and the observations.
+
+    ``ensemble_params`` (a stacked params pytree from ``train_ensemble`` /
+    ``init_ensemble``): every member is rolled out on the grid; the plot
+    shows the ensemble-mean prediction, each member faintly, and an
+    epistemic (seed) ±2σ band alongside the aleatoric one — a capability
+    with no reference analogue.  ``params`` is ignored when given.
     """
     from ..simulation.sde import (
         generate_black_scholes, generate_heston, generate_hybrid_ou_bs,
@@ -128,16 +135,36 @@ def plot_single_trajectory_with_condexp(model, params, process_type: str,
 
     # model rollout on the dense grid — one canonical path for all inference
     obs_mask = jnp.zeros((1, G), bool).at[0, obs_idx].set(True)
-    out = model.predict_on_grid(params, times_full, obs_mask,
-                                X_full[None, :, None])
-    model_mean = np.asarray(out["mean"][0, :, 0])
-    model_var = None if out["var"] is None else np.asarray(out["var"][0, :, 0])
+    member_means = seed_std = None
+    if ensemble_params is not None:
+        outs = jax.vmap(lambda p: model.predict_on_grid(
+            p, times_full, obs_mask, X_full[None, :, None]))(ensemble_params)
+        member_means = np.asarray(outs["mean"][:, 0, :, 0])       # (K, G)
+        model_mean = member_means.mean(axis=0)
+        seed_std = member_means.std(axis=0)
+        model_var = (None if outs["var"] is None
+                     else np.asarray(outs["var"][:, 0, :, 0]).mean(axis=0))
+    else:
+        out = model.predict_on_grid(params, times_full, obs_mask,
+                                    X_full[None, :, None])
+        model_mean = np.asarray(out["mean"][0, :, 0])
+        model_var = (None if out["var"] is None
+                     else np.asarray(out["var"][0, :, 0]))
 
     # ---- draw ----
     t = np.asarray(times_full)
     plt.figure(figsize=(12, 8))
     plt.plot(t, np.asarray(X_full), "b-", label="True Path", linewidth=1.5)
-    plt.plot(t, model_mean, "r-", label="Model Mean", linewidth=1.5)
+    if member_means is not None:
+        for m in member_means:
+            plt.plot(t, m, color="darkorange", alpha=0.25, linewidth=0.7)
+        plt.fill_between(t, model_mean - 2 * seed_std,
+                         model_mean + 2 * seed_std, color="darkorange",
+                         alpha=0.25,
+                         label=f"Seed ±2σ ({member_means.shape[0]} members)")
+        plt.plot(t, model_mean, "r-", label="Ensemble Mean", linewidth=1.5)
+    else:
+        plt.plot(t, model_mean, "r-", label="Model Mean", linewidth=1.5)
     plt.plot(t, np.asarray(ce), "g:", label="True Conditional Expectation",
              linewidth=2)
     plt.scatter(np.asarray(obs_times), np.asarray(obs_values), c="black",

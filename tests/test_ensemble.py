@@ -94,6 +94,21 @@ def test_ensemble_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ensemble_figure1_plot(tmp_path):
+    """Figure-1 plot with epistemic seed bands from a stacked ensemble."""
+    pytest.importorskip("matplotlib")
+    from njode_tpu.utils.plotting import plot_single_trajectory_with_condexp
+
+    model = NeuralJumpODE(**MODEL_KW)
+    stack = init_ensemble(model, 3, seed=0)
+    out = tmp_path / "fig1_ensemble.png"
+    plot_single_trajectory_with_condexp(
+        model, None, "black_scholes",
+        dict(mu=0.1, sigma=0.5, T=1.0, n_steps=20, x0=1.0),
+        obs_fraction=0.2, save_path=str(out), ensemble_params=stack)
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_ensemble_predict_and_uncertainty():
     model = NeuralJumpODE(**MODEL_KW)
     params = init_ensemble(model, 4, seed=0)
