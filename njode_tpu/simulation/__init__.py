@@ -22,14 +22,17 @@ from .sde import (
 )
 from .registry import (
     get_moments_fn,
+    get_obs_values_fn,
     get_paths_fn,
     register_process,
     registered_processes,
 )
 from .multidim import (
     bs_nd_moments,
+    bs_nd_values_at,
     bs_paths_nd,
     ou_nd_moments,
+    ou_nd_values_at,
     ou_paths_nd,
 )
 from .moments import (
@@ -56,6 +59,8 @@ __all__ = [
     "condvar_black_scholes_on_grid", "condvar_heston_on_grid",
     "condvar_ou_on_grid", "get_conditional_moments_at_obs", "moments_at_obs",
     "register_process", "registered_processes", "get_paths_fn",
+    "get_obs_values_fn",
     "get_moments_fn",
     "bs_paths_nd", "ou_paths_nd", "bs_nd_moments", "ou_nd_moments",
+    "bs_nd_values_at", "ou_nd_values_at",
 ]

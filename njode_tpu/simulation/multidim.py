@@ -147,6 +147,78 @@ def ou_paths_nd(key: jax.Array, n_paths: int, dims: int = 2, theta=1.0,
 
 
 # --------------------------------------------------------------------------
+# exact observation-time samplers (obs_only fast path, cf. sde.py)
+# --------------------------------------------------------------------------
+
+def bs_nd_values_at(key: jax.Array, times: Array, dims: int = 2, mu=0.0,
+                    sigma=0.2, corr=None, x0=1.0,
+                    dtype=jnp.float32) -> Array:
+    """Exact correlated d-dim GBM samples at per-row sorted times (B, N).
+
+    One correlated lognormal increment per inter-observation gap — the same
+    law as grid-simulate-then-subsample (the grid is exact)."""
+    d = int(dims)
+    times = times.astype(dtype)
+    dts = times[:, 1:] - times[:, :-1]                        # (B, N-1)
+    mu_v = _vec(mu, d, dtype)
+    sig_v = _vec(sigma, d, dtype)
+    x0_v = _vec(x0, d, dtype)
+    L = _corr_chol(corr, d, dtype)
+    z = jax.random.normal(key, dts.shape + (d,), dtype)
+    dW = jnp.einsum("bnd,ed->bne", z, L) * jnp.sqrt(dts)[..., None]
+    inc = (mu_v - 0.5 * sig_v ** 2) * dts[..., None] + sig_v * dW
+    logX = jnp.concatenate(
+        [jnp.zeros((times.shape[0], 1, d), dtype),
+         jnp.cumsum(inc, axis=1)], axis=1) + jnp.log(x0_v)
+    return jnp.exp(logX)                                       # (B, N, d)
+
+
+def ou_nd_values_at(key: jax.Array, times: Array, dims: int = 2, theta=1.0,
+                    mu=0.0, sigma=0.3, corr=None, x0=0.0,
+                    dtype=jnp.float32) -> Array:
+    """Exact correlated d-dim OU samples at per-row sorted times (B, N).
+
+    Per-gap exact AR(1) with the gap-dependent noise covariance
+    ``C_ij(s) = sigma_i sigma_j rho_ij (1 - e^{-(theta_i+theta_j)s})
+    / (theta_i + theta_j)`` (Brownian limit as theta -> 0); one batched
+    (B, N-1, d, d) Cholesky, then the usual affine parallel prefix."""
+    d = int(dims)
+    times = times.astype(dtype)
+    dts = times[:, 1:] - times[:, :-1]                        # (B, N-1)
+    th = _vec(theta, d, dtype)
+    mu_v = _vec(mu, d, dtype)
+    sig_v = _vec(sigma, d, dtype)
+    x0_v = _vec(x0, d, dtype)
+    R = jnp.eye(d, dtype=dtype) if corr is None else jnp.asarray(corr, dtype)
+
+    A = jnp.exp(-th * dts[..., None])                         # (B, N-1, d)
+    b = mu_v * (1.0 - A)
+    th_sum = th[:, None] + th[None, :]                        # (d, d)
+    s = dts[..., None, None]                                  # (B, N-1, 1, 1)
+    frac = jnp.where(th_sum > 1e-12,
+                     (1.0 - jnp.exp(-th_sum * s))
+                     / jnp.where(th_sum > 1e-12, th_sum, 1.0),
+                     s)
+    C = sig_v[:, None] * sig_v[None, :] * R * frac            # (B, N-1, d, d)
+    # tiny diagonal jitter keeps the batched Cholesky stable at dt -> 0
+    C = C + 1e-12 * jnp.eye(d, dtype=dtype)
+    L = jnp.linalg.cholesky(C)
+    z = jax.random.normal(key, dts.shape + (d,), dtype)
+    eta = jnp.einsum("bnde,bne->bnd", L, z)
+    u = b + eta
+
+    def combine(lhs, rhs):
+        al, ul = lhs
+        ar, ur = rhs
+        return al * ar, ar * ul + ur
+
+    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    return jnp.concatenate(
+        [jnp.broadcast_to(x0_v, (times.shape[0], 1, d)),
+         A_c * x0_v + U_c], axis=1)                            # (B, N, d)
+
+
+# --------------------------------------------------------------------------
 # analytic conditional moments (componentwise marginals)
 # --------------------------------------------------------------------------
 
@@ -227,5 +299,7 @@ def ou_nd_moments(times: Array, values: Array, num_moments: int = 1,
                        variance_method)
 
 
-register_process("black_scholes_nd", bs_paths_nd, moments_fn=bs_nd_moments)
-register_process("ornstein_uhlenbeck_nd", ou_paths_nd, moments_fn=ou_nd_moments)
+register_process("black_scholes_nd", bs_paths_nd, moments_fn=bs_nd_moments,
+                 obs_values_fn=bs_nd_values_at)
+register_process("ornstein_uhlenbeck_nd", ou_paths_nd,
+                 moments_fn=ou_nd_moments, obs_values_fn=ou_nd_values_at)

@@ -24,10 +24,12 @@ from typing import Callable, Optional
 
 _PATHS: dict[str, Callable] = {}
 _MOMENTS: dict[str, Callable] = {}
+_OBS_VALUES: dict[str, Callable] = {}
 
 
 def register_process(name: str, paths_fn: Callable,
-                     moments_fn: Optional[Callable] = None) -> None:
+                     moments_fn: Optional[Callable] = None,
+                     obs_values_fn: Optional[Callable] = None) -> None:
     """Register a path generator (and optionally analytic moments).
 
     paths_fn(key, n_paths, **params) -> (grid_times (G,), paths (B, G))
@@ -38,10 +40,19 @@ def register_process(name: str, paths_fn: Callable,
         When per-path extras were returned by paths_fn and the caller opts
         into them, they arrive as a ``switch_times=(B,)`` keyword — accept
         ``**kwargs`` to ignore them.
+    obs_values_fn(key, times (B, N), **params) -> values (B, N) or
+        (B, N, d): EXACT samples of the process at per-row sorted times
+        with ``times[:, 0] == 0`` — declares that the process has an exact
+        arbitrary-gap transition law, enabling
+        ``simulate_batch(obs_only=True)`` (skip the unobserved grid; see
+        sde.py).  Params arrive as the simulate_batch process kwargs minus
+        ``T``/``n_steps``.
     """
     _PATHS[name] = paths_fn
     if moments_fn is not None:
         _MOMENTS[name] = moments_fn
+    if obs_values_fn is not None:
+        _OBS_VALUES[name] = obs_values_fn
 
 
 def get_paths_fn(name: str) -> Optional[Callable]:
@@ -50,6 +61,10 @@ def get_paths_fn(name: str) -> Optional[Callable]:
 
 def get_moments_fn(name: str) -> Optional[Callable]:
     return _MOMENTS.get(name)
+
+
+def get_obs_values_fn(name: str) -> Optional[Callable]:
+    return _OBS_VALUES.get(name)
 
 
 def registered_processes() -> tuple[str, ...]:

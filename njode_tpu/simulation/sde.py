@@ -278,13 +278,15 @@ OBS_ONLY_PROCESSES = ("black_scholes", "ornstein_uhlenbeck")
 def supports_obs_only(process_type: str) -> bool:
     """True when the process has an exact arbitrary-gap transition law.
 
-    A custom generator registered under a built-in name takes priority in
-    ``simulate_batch`` (registry first), so an overridden name does NOT
-    support obs_only — its law is whatever the override simulates.
+    Registered processes support obs_only iff they declared an
+    ``obs_values_fn`` (registry.py) — a plain ``paths_fn`` override under a
+    built-in name DISABLES the built-in fast path, because the registry's
+    generator wins in ``simulate_batch`` and the built-in transition law no
+    longer describes the data.
     """
-    from .registry import get_paths_fn
+    from .registry import get_obs_values_fn, get_paths_fn
     if get_paths_fn(process_type) is not None:
-        return False
+        return get_obs_values_fn(process_type) is not None
     return process_type in OBS_ONLY_PROCESSES
 
 
@@ -409,12 +411,18 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
         times = grid_times[obs_idx]                            # (B, N)
         kw = {k: v for k, v in process_kwargs.items()
               if k not in ("T", "n_steps")}
-        if process_type == "black_scholes":
+        from .registry import get_obs_values_fn
+        custom_obs = get_obs_values_fn(process_type)
+        if custom_obs is not None:
+            values = custom_obs(k_path, times, **kw)
+        elif process_type == "black_scholes":
             values = bs_values_at(k_path, times, **kw)
         else:
             values = ou_values_at(k_path, times, **kw)
+        if values.ndim == 2:
+            values = values[..., None]
         mask = jnp.ones(times.shape, dtype=bool)
-        return TrajectoryBatch(times, values[..., None], mask, grid_times,
+        return TrajectoryBatch(times, values, mask, grid_times,
                                obs_idx, None, None)
     switch_times = None
     from .registry import get_paths_fn

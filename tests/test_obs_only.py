@@ -132,3 +132,44 @@ def test_trains_end_to_end():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_nd_obs_only_law_and_times():
+    """Registry obs_values_fn path: correlated d-dim GBM/OU exact sampling."""
+    import numpy as np
+    n, d = 20000, 2
+    corr = [[1.0, 0.6], [0.6, 1.0]]
+    kw = dict(T=1.0, n_steps=40, dims=d, corr=corr)
+    assert supports_obs_only("black_scholes_nd")
+    assert supports_obs_only("ornstein_uhlenbeck_nd")
+
+    key = jax.random.PRNGKey(5)
+    a = simulate_batch(key, 256, "black_scholes_nd", 0.2, obs_only=True,
+                       mu=0.1, sigma=0.5, x0=1.0, **kw)
+    b = simulate_batch(key, 256, "black_scholes_nd", 0.2,
+                       mu=0.1, sigma=0.5, x0=1.0, **kw)
+    np.testing.assert_allclose(np.asarray(a.times), np.asarray(b.times))
+    assert a.values.shape == b.values.shape  # (256, N, 2)
+    assert a.paths is None
+
+    # marginal law at T + driving correlation of the log-increments
+    big = simulate_batch(jax.random.PRNGKey(6), n, "black_scholes_nd", 0.1,
+                         obs_only=True, mu=0.1, sigma=0.5, x0=1.0, **kw)
+    xT = np.asarray(big.values[:, -1, :])
+    m = 1.0 * np.exp(0.1 * 1.0)
+    np.testing.assert_allclose(xT.mean(axis=0), [m, m], rtol=0.05)
+    logs = np.log(np.asarray(big.values[:, 1:, :])
+                  / np.asarray(big.values[:, :-1, :]))
+    r = np.corrcoef(logs[..., 0].ravel(), logs[..., 1].ravel())[0, 1]
+    np.testing.assert_allclose(r, 0.6, atol=0.03)
+
+    # OU: terminal marginal stats per component
+    ou = simulate_batch(jax.random.PRNGKey(7), n, "ornstein_uhlenbeck_nd",
+                        0.1, obs_only=True, theta=1.0, mu=0.5, sigma=0.3,
+                        x0=0.0, **kw)
+    yT = np.asarray(ou.values[:, -1, :])
+    e = np.exp(-1.0)
+    np.testing.assert_allclose(yT.mean(axis=0), [0.5 * (1 - e)] * 2,
+                               atol=0.02)
+    np.testing.assert_allclose(yT.var(axis=0),
+                               [0.09 / 2 * (1 - e ** 2)] * 2, rtol=0.1)
