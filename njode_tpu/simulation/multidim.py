@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .moments import _bs_mean, _bs_var, _ou_mean, _ou_var
+from .sde import _affine_combine
 from .registry import register_process
 
 Array = jnp.ndarray
@@ -135,12 +136,7 @@ def ou_paths_nd(key: jax.Array, n_paths: int, dims: int = 2, theta=1.0,
     u = b + jnp.einsum("btd,ed->bte", z, L)                   # (B, T, d)
     A = jnp.broadcast_to(a, (n_paths, n_steps, d))
 
-    def combine(lhs, rhs):
-        al, ul = lhs
-        ar, ur = rhs
-        return al * ar, ar * ul + ur
-
-    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    A_c, U_c = lax.associative_scan(_affine_combine, (A, u), axis=1)
     X = jnp.concatenate(
         [jnp.broadcast_to(x0_v, (n_paths, 1, d)), A_c * x0_v + U_c], axis=1)
     return times, X
@@ -207,12 +203,7 @@ def ou_nd_values_at(key: jax.Array, times: Array, dims: int = 2, theta=1.0,
     eta = jnp.einsum("bnde,bne->bnd", L, z)
     u = b + eta
 
-    def combine(lhs, rhs):
-        al, ul = lhs
-        ar, ur = rhs
-        return al * ar, ar * ul + ur
-
-    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    A_c, U_c = lax.associative_scan(_affine_combine, (A, u), axis=1)
     return jnp.concatenate(
         [jnp.broadcast_to(x0_v, (times.shape[0], 1, d)),
          A_c * x0_v + U_c], axis=1)                            # (B, N, d)

@@ -46,13 +46,25 @@ def register_process(name: str, paths_fn: Callable,
         arbitrary-gap transition law, enabling
         ``simulate_batch(obs_only=True)`` (skip the unobserved grid; see
         sde.py).  Params arrive as the simulate_batch process kwargs minus
-        ``T``/``n_steps``.
+        ``T``/``n_steps``.  NOTE: the obs_only observation grid uses the
+        ``T``/``n_steps`` process kwargs with the framework defaults
+        (T=1.0, n_steps=100) when omitted — if your ``paths_fn`` declares
+        different defaults, callers must pass ``T``/``n_steps`` explicitly
+        for obs_only and grid mode to produce the same observation times.
+
+    Re-registering a name REPLACES the whole entry: omitted ``moments_fn``
+    / ``obs_values_fn`` clear any previously registered ones (a stale
+    exact-sampler from the old generator would describe the wrong law).
     """
     _PATHS[name] = paths_fn
     if moments_fn is not None:
         _MOMENTS[name] = moments_fn
+    else:
+        _MOMENTS.pop(name, None)
     if obs_values_fn is not None:
         _OBS_VALUES[name] = obs_values_fn
+    else:
+        _OBS_VALUES.pop(name, None)
 
 
 def get_paths_fn(name: str) -> Optional[Callable]:

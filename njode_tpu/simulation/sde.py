@@ -41,6 +41,14 @@ from jax import lax
 # batched generators (B paths at once)
 # --------------------------------------------------------------------------
 
+def _affine_combine(lhs, rhs):
+    """Composition of affine maps x -> a*x + u (the associative_scan
+    combine): (a2, u2) o (a1, u1) = (a2*a1, a2*u1 + u2)."""
+    al, ul = lhs
+    ar, ur = rhs
+    return al * ar, ar * ul + ur
+
+
 def bs_paths(key: jax.Array, n_paths: int, mu: float = 0.0, sigma: float = 0.2,
              T: float = 1.0, n_steps: int = 100, x0: float = 1.0,
              dtype=jnp.float32):
@@ -74,15 +82,8 @@ def ou_paths(key: jax.Array, n_paths: int, theta: float = 1.0, mu: float = 0.0,
         c = sigma * math.sqrt(dt)
     u = b + c * jax.random.normal(key, (n_paths, n_steps), dtype)  # (B, T)
 
-    # affine composition: (a2, u2) o (a1, u1) = (a2*a1, a2*u1 + u2)
     A = jnp.full((n_paths, n_steps), a, dtype)
-
-    def combine(l, r):
-        al, ul = l
-        ar, ur = r
-        return al * ar, ar * ul + ur
-
-    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    A_c, U_c = lax.associative_scan(_affine_combine, (A, u), axis=1)
     X = jnp.concatenate(
         [jnp.full((n_paths, 1), x0, dtype), A_c * x0 + U_c], axis=1
     )
@@ -161,12 +162,7 @@ def hybrid_ou_bs_paths(key: jax.Array, n_paths: int, theta_ou: float = 1.0,
     A = jnp.where(is_ou, jnp.asarray(a, dtype), jnp.exp(bs_drift + bs_noise))
     U = jnp.where(is_ou, b + ou_noise, jnp.zeros((), dtype))
 
-    def combine(l, r):
-        al, ul = l
-        ar, ur = r
-        return al * ar, ar * ul + ur
-
-    A_c, U_c = lax.associative_scan(combine, (A, U), axis=0)
+    A_c, U_c = lax.associative_scan(_affine_combine, (A, U), axis=0)
     X0 = jnp.full((n_paths,), x0, dtype)
     X = jnp.concatenate([X0[None], A_c * x0 + U_c], axis=0).T
     return times, X, sw
@@ -329,12 +325,7 @@ def ou_values_at(key: jax.Array, times: jnp.ndarray, theta: float = 1.0,
         c = sigma * jnp.sqrt(dts)
     u = mu * (1.0 - A) + c * jax.random.normal(key, dts.shape, dtype)
 
-    def combine(l, r):
-        al, ul = l
-        ar, ur = r
-        return al * ar, ar * ul + ur
-
-    A_c, U_c = lax.associative_scan(combine, (A, u), axis=1)
+    A_c, U_c = lax.associative_scan(_affine_combine, (A, u), axis=1)
     return jnp.concatenate(
         [jnp.full((times.shape[0], 1), x0, dtype), A_c * x0 + U_c], axis=1)
 

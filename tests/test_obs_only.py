@@ -136,7 +136,6 @@ def test_trains_end_to_end():
 
 def test_nd_obs_only_law_and_times():
     """Registry obs_values_fn path: correlated d-dim GBM/OU exact sampling."""
-    import numpy as np
     n, d = 20000, 2
     corr = [[1.0, 0.6], [0.6, 1.0]]
     kw = dict(T=1.0, n_steps=40, dims=d, corr=corr)

@@ -100,10 +100,8 @@ def test_concurrent_sweep_configs(tmp_path):
     assert {row["run"] for row in rows} == {"sweep_h8_l1", "sweep_h12_l1"}
 
 
-def _script_env(tmp_path, with_pythonpath=True):
+def _script_env():
     env = _env()
-    if not with_pythonpath:
-        env.pop("PYTHONPATH", None)
     env["SWEEP_JOBS"] = "3"
     return env
 
@@ -122,7 +120,7 @@ def test_run_sweep_script_end_to_end(tmp_path):
     _copy_tree(tmp_path)
     r = subprocess.run(
         ["bash", str(tmp_path / "scripts" / "run_sweep.sh"), *TINY],
-        cwd=tmp_path, env=_script_env(tmp_path), capture_output=True,
+        cwd=tmp_path, env=_script_env(), capture_output=True,
         text=True, timeout=540)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     runs = tmp_path / "runs"
@@ -138,10 +136,12 @@ def test_run_sweep_script_failure_aborts(tmp_path):
     """A failing config stops the sweep: nonzero exit, no stragglers, and
     no configs beyond the first in-flight batch are launched."""
     _copy_tree(tmp_path)
-    # without PYTHONPATH the experiment subprocesses can't import njode_tpu
+    # an invalid flag value makes every experiment subprocess exit nonzero
+    # regardless of how njode_tpu is importable (PYTHONPATH or installed)
     r = subprocess.run(
-        ["bash", str(tmp_path / "scripts" / "run_sweep.sh"), *TINY],
-        cwd=tmp_path, env=_script_env(tmp_path, with_pythonpath=False),
+        ["bash", str(tmp_path / "scripts" / "run_sweep.sh"), *TINY,
+         "--learning-rate", "not-a-number"],
+        cwd=tmp_path, env=_script_env(),
         capture_output=True, text=True, timeout=300)
     assert r.returncode != 0
     assert "sweep config failed" in r.stdout + r.stderr
