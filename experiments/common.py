@@ -116,6 +116,13 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Model-init / shuffle seed')
     parser.add_argument('--data-seed', type=int, default=0,
                         help='Data-generation seed')
+    parser.add_argument('--ensemble', type=int, default=0,
+                        help='Train K independently-seeded models in ONE '
+                             'vmapped program (0/1 = single model). The '
+                             'checkpoint holds the stacked params, '
+                             'history.json adds member_train_loss, and the '
+                             'trajectory plot gains epistemic seed bands. '
+                             'Single-host; no resume')
     parser.add_argument('--obs-only', type=str, default='off',
                         choices=['auto', 'on', 'off'],
                         help='Sample values exactly at the observation times '
@@ -193,6 +200,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "process_id": args.process_id,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
+        "ensemble": args.ensemble,
         "seed": args.seed,
         "data_seed": args.data_seed,
         "data": {
@@ -278,14 +286,29 @@ def run_and_plot(config: dict, process_type: str, process_params: dict,
             ode_solver=config.get("ode_solver", "euler"),
             compute_dtype=config.get("compute_dtype"),
         )
-        params = load_params(str(save_path / "model.ckpt"),
-                             model.init(jax.random.PRNGKey(0)))
-        plot_single_trajectory_with_condexp(
-            model=model, params=params, process_type=process_type,
-            process_params=process_params,
-            obs_fraction=config["data"]["obs_fraction"],
-            seed=42,
-            save_path=str(save_path / "trajectory_comparison.png"))
+        n_ens = int(config.get("ensemble", 0) or 0)
+        if n_ens > 1:
+            # stacked checkpoint: template has the leading seed axis; the
+            # plot shows the ensemble mean + epistemic seed bands
+            from njode_tpu.utils.ensemble import init_ensemble
+            stack = load_params(str(save_path / "model.ckpt"),
+                                init_ensemble(model, n_ens,
+                                              seed=config.get("seed", 0)))
+            plot_single_trajectory_with_condexp(
+                model=model, params=None, process_type=process_type,
+                process_params=process_params,
+                obs_fraction=config["data"]["obs_fraction"],
+                seed=42, ensemble_params=stack,
+                save_path=str(save_path / "trajectory_comparison.png"))
+        else:
+            params = load_params(str(save_path / "model.ckpt"),
+                                 model.init(jax.random.PRNGKey(0)))
+            plot_single_trajectory_with_condexp(
+                model=model, params=params, process_type=process_type,
+                process_params=process_params,
+                obs_fraction=config["data"]["obs_fraction"],
+                seed=42,
+                save_path=str(save_path / "trajectory_comparison.png"))
 
     print("\nExperiment completed successfully!")
     print(f"Results saved in: {save_path}")

@@ -731,6 +731,11 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         ode_solver=config.get("ode_solver", "euler"),
     )
 
+    n_ensemble = int(config.get("ensemble", 0) or 0)
+    if n_ensemble > 1:
+        return _run_ensemble_experiment(config, model, save_path, n_ensemble,
+                                        is_primary)
+
     optimizer = make_adam(config["learning_rate"], config["weight_decay"])
     trainer = Trainer(model, optimizer,
                       device=config.get("device", "auto"),
@@ -772,4 +777,71 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         "save_path": str(save_path),
         "final_train_loss": history["train_loss"][-1],
         "final_val_loss": history["val_loss"][-1] if history["val_loss"] else None,
+    }
+
+
+def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
+                             is_primary: bool) -> Dict:
+    """``run_experiment`` body for ``config['ensemble'] = K > 1``.
+
+    Trains K independently-seeded members in ONE vmapped program
+    (utils/ensemble.py) with the experiment's recipe, then writes the same
+    artifact layout: ``model.ckpt`` holds the STACKED params (leading seed
+    axis), ``history.json`` has the mean per-epoch loss plus
+    ``member_train_loss`` (n_epochs x K).  Single-host; no checkpoint
+    resume (whole runs are seconds on TPU).
+    """
+    import time as _time
+
+    from .checkpoint import save_checkpoint
+    from .ensemble import train_ensemble
+
+    data = dict(config["data"])
+    t0 = _time.perf_counter()
+    params_stack, losses = train_ensemble(
+        model, data["process_type"], n_seeds=n_seeds,
+        n_epochs=config["n_epochs"],
+        n_trajectories=data["n_train"],
+        batch_size=config.get("batch_size"),
+        obs_fraction=data.get("obs_fraction", 0.1),
+        optimizer=make_adam(config["learning_rate"], config["weight_decay"]),
+        seed=config.get("seed", 0), data_seed=config.get("data_seed", 0),
+        shuffle=config.get("shuffle", True),
+        obs_only=bool(data.get("obs_only", False)),
+        ignore_first_continuity=config.get("ignore_first_continuity", False),
+        moment_weights=config.get("moment_weights"),
+        variance_method=config.get("variance_method", "direct"),
+        extended_moments=config.get("extended_moments", False),
+        **{k: v for k, v in data.items()
+           if k not in ("process_type", "n_train", "n_val", "obs_fraction",
+                        "cache_data", "obs_only")})
+    wall = _time.perf_counter() - t0
+    member_losses = [[float(x) for x in row] for row in losses]
+    mean_losses = [float(x) for x in losses.mean(axis=1)]
+    print(f"Trained {n_seeds}-member ensemble x {config['n_epochs']} epochs "
+          f"in {wall:.2f}s; final member losses "
+          f"{[round(x, 4) for x in member_losses[-1]]}")
+
+    history = {
+        "train_loss": mean_losses,
+        "val_loss": [],
+        "relative_loss": [],
+        "epoch_times": [wall / max(config["n_epochs"], 1)] * config["n_epochs"],
+        "member_train_loss": member_losses,
+        "n_ensemble": n_seeds,
+    }
+    if is_primary:
+        save_checkpoint(str(save_path / "model.ckpt"), params_stack, {},
+                        {"train_loss": mean_losses},
+                        backend=config.get("checkpoint_backend", "msgpack"))
+        with open(save_path / "history.json", "w") as f:
+            json.dump(history, f, indent=2)
+    print(f"Experiment completed. Results saved to {save_path}")
+    return {
+        "config": config,
+        "history": history,
+        "save_path": str(save_path),
+        "final_train_loss": mean_losses[-1],
+        "final_val_loss": None,
+        "params_stack": params_stack,
     }

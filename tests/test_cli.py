@@ -60,3 +60,27 @@ def test_compare_cli(tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "Black-Scholes" in r2.stdout
     assert (tmp_path / "runs" / "comparison_relative_loss.png").exists()
+
+
+def test_ensemble_cli(tmp_path):
+    """--ensemble K: stacked checkpoint, member losses, seed-band plot."""
+    r = run_cli("experiment_black_scholes.py",
+                TINY + ["--ensemble", "3", "--obs-only", "auto"],
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    d = tmp_path / "runs" / "njode_black_scholes"
+    history = json.loads((d / "history.json").read_text())
+    assert history["n_ensemble"] == 3
+    assert len(history["member_train_loss"]) == 4
+    assert all(len(row) == 3 for row in history["member_train_loss"])
+    assert (d / "trajectory_comparison.png").exists()
+    # the stacked checkpoint reloads against an ensemble template
+    import jax
+    from njode_tpu.models import NeuralJumpODE
+    from njode_tpu.utils.checkpoint import load_params
+    from njode_tpu.utils.ensemble import init_ensemble
+    model = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
+                          num_moments=2)
+    stack = load_params(str(d / "model.ckpt"), init_ensemble(model, 3))
+    leaf = jax.tree_util.tree_leaves(stack)[0]
+    assert leaf.shape[0] == 3
