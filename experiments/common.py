@@ -123,13 +123,14 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'history.json adds member_train_loss, and the '
                              'trajectory plot gains epistemic seed bands. '
                              'Single-host; no resume')
-    parser.add_argument('--obs-only', type=str, default='off',
+    parser.add_argument('--obs-only', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='Sample values exactly at the observation times '
                              'instead of simulating the whole grid (same '
                              'data law, ~n_grid/n_obs cheaper generation). '
-                             'auto = on for processes with exact transition '
-                             'laws (BS, OU), off otherwise')
+                             'auto (default) = on for processes with exact '
+                             'transition laws, off otherwise; nothing in the '
+                             'training path reads the dense grid')
     parser.add_argument('--ode-solver', type=str, default='euler',
                         choices=['euler', 'heun', 'rk4'],
                         help='Latent-ODE integrator (euler = reference '

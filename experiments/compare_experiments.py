@@ -122,7 +122,8 @@ def _plot_sweep(rows, png_path):
         fig.colorbar(im, ax=ax, shrink=0.8)
     else:
         fig, ax = plt.subplots(figsize=(max(6, 0.8 * len(rows)), 4))
-        vals = [r["final_val_loss"] or float("nan") for r in rows]
+        vals = [float("nan") if r["final_val_loss"] is None
+                else r["final_val_loss"] for r in rows]
         ax.bar(range(len(rows)), vals)
         ax.set_xticks(range(len(rows)),
                       [r["run"] for r in rows], rotation=45, ha="right")

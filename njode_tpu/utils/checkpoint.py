@@ -10,6 +10,10 @@ Two interchangeable backends behind the same three functions:
 * ``msgpack`` (default): one flat file of msgpack over numpy-ified pytrees
   (flax.serialization) — portable across hosts and JAX versions, ideal for
   single-host runs and the reference's single-file artifact layout.
+  Under multi-host training only process 0 writes, so resume requires the
+  checkpoint path to live on a filesystem every process can read (true on
+  SLURM clusters and TPU pods with NFS/GCS-fuse; NOT true for
+  node-local /tmp) — use ``orbax`` when there is no shared filesystem.
 * ``orbax``: an Orbax PyTree checkpoint DIRECTORY at the same path — for
   multi-host / sharded ``jax.Array`` params (each host writes only its
   shards; Orbax reassembles on restore).  Opt in with
@@ -124,12 +128,62 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
     _barrier("msgpack-written")
 
 
-def _read_state(path: str) -> dict:
-    """Read the raw checkpoint bundle, auto-detecting the backend."""
+def _key_name(k) -> str:
+    """Normalize a jax tree-path key (DictKey/SequenceKey/GetAttrKey)."""
+    for attr in ("key", "idx", "name"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def _orbax_restore_args(meta_tree, templates: dict):
+    """Per-leaf restore args keyed off the checkpoint's own structure.
+
+    Leaves that have a counterpart in ``templates`` restore directly onto
+    the template's sharding — this is what makes resume correct when the
+    restoring job runs on a different topology than the writer (the actual
+    preemption story multi-host checkpointing exists for); without it Orbax
+    guesses from the snapshot and warns.  Leaves with no template
+    counterpart (histories, forward-compat extras) restore as plain numpy.
+    """
+    import orbax.checkpoint as ocp
+
+    flat_tpl = {}
+    for top, tree in templates.items():
+        if tree is None:
+            continue
+        sd = serialization.to_state_dict(tree)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(sd)[0]:
+            flat_tpl[(top,) + tuple(_key_name(k) for k in kp)] = leaf
+
+    def one(kp, _meta):
+        leaf = flat_tpl.get(tuple(_key_name(k) for k in kp))
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None:
+            return ocp.ArrayRestoreArgs(sharding=sharding,
+                                        global_shape=leaf.shape,
+                                        dtype=leaf.dtype)
+        return ocp.RestoreArgs(restore_type=np.ndarray)
+
+    return jax.tree_util.tree_map_with_path(one, meta_tree)
+
+
+def _read_state(path: str, templates: Optional[dict] = None) -> dict:
+    """Read the raw checkpoint bundle, auto-detecting the backend.
+
+    ``templates`` maps top-level bundle keys (``model_state_dict``,
+    ``optimizer_state_dict``) to live pytrees whose shardings the Orbax
+    restore should target; ignored for msgpack (host numpy either way).
+    """
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
+        abspath = os.path.abspath(path)
         with ocp.PyTreeCheckpointer() as ckptr:
-            return ckptr.restore(os.path.abspath(path))
+            if templates:
+                meta = ckptr.metadata(abspath).item_metadata
+                restore_args = _orbax_restore_args(meta, templates)
+                return ckptr.restore(abspath, restore_args=restore_args)
+            return ckptr.restore(abspath)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -141,13 +195,17 @@ def load_checkpoint(path: str, params_template: Any,
     Raises on any structural mismatch — callers implement the reference's
     degrade-to-fresh-training behaviour (reference utils/training.py:172-174).
     """
-    return _unbundle(_read_state(path), params_template, opt_state_template)
+    state = _read_state(path, templates={
+        "model_state_dict": params_template,
+        "optimizer_state_dict": opt_state_template,
+    })
+    return _unbundle(state, params_template, opt_state_template)
 
 
 def load_params(path: str, params_template: Any) -> Any:
     """Restore only the model parameters (for inference/plotting,
     reference experiments/experiment_black_scholes.py:159-160)."""
-    state = _read_state(path)
+    state = _read_state(path, templates={"model_state_dict": params_template})
     return serialization.from_state_dict(params_template,
                                          state["model_state_dict"])
 

@@ -21,34 +21,55 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def plot_training_history(history_path: str, save_path: Optional[str] = None):
-    """Two-panel loss/time history (reference utils/plotting.py:12-40)."""
-    with open(history_path, "r") as f:
-        history = json.load(f)
+def _load_history(history_path: str) -> Optional[dict]:
+    """Read a run's history.json; None (with a diagnostic) if unreadable."""
+    try:
+        with open(history_path, "r") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        print(f"[plotting] no history at {history_path}; skipping")
+    except json.JSONDecodeError as e:
+        print(f"[plotting] {history_path} is not valid JSON ({e}); skipping")
+    return None
 
-    plt.figure(figsize=(10, 6))
-    plt.subplot(1, 2, 1)
-    plt.plot(history["train_loss"], label="Training Loss", alpha=0.7)
-    if history["val_loss"]:
-        plt.plot(history["val_loss"], label="Validation Loss", alpha=0.7)
-    plt.xlabel("Epoch")
-    plt.ylabel("Loss")
-    plt.title("Training History")
-    plt.legend()
-    plt.yscale("log")
-    plt.grid(True, alpha=0.3)
 
-    plt.subplot(1, 2, 2)
-    plt.plot(history["epoch_times"], alpha=0.7)
-    plt.xlabel("Epoch")
-    plt.ylabel("Time (seconds)")
-    plt.title("Training Time per Epoch")
-    plt.grid(True, alpha=0.3)
-
-    plt.tight_layout()
+def _finish(fig, save_path: Optional[str]):
+    """Shared figure finalizer: tight layout, optional save, always close."""
+    fig.tight_layout()
     if save_path:
-        plt.savefig(save_path, dpi=300, bbox_inches="tight")
-    plt.close()
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_training_history(history_path: str, save_path: Optional[str] = None):
+    """Loss curves + per-epoch wall time side by side.
+
+    Same artifact as the reference's history plot (its utils/plotting.py:12-40)
+    — log-scale train/val loss on the left, epoch seconds on the right — but
+    driven off the history schema documented in utils/metrics.py.
+    """
+    history = _load_history(history_path)
+    if history is None:
+        return
+
+    fig, (ax_loss, ax_time) = plt.subplots(1, 2, figsize=(10, 6))
+
+    curves = [("train_loss", "Training Loss"), ("val_loss", "Validation Loss")]
+    for key, label in curves:
+        series = history.get(key)
+        if series:
+            ax_loss.plot(series, label=label, alpha=0.7)
+    ax_loss.set(xlabel="Epoch", ylabel="Loss", yscale="log",
+                title="Training History")
+    ax_loss.legend()
+    ax_loss.grid(True, alpha=0.3)
+
+    ax_time.plot(history.get("epoch_times", []), alpha=0.7)
+    ax_time.set(xlabel="Epoch", ylabel="Time (seconds)",
+                title="Training Time per Epoch")
+    ax_time.grid(True, alpha=0.3)
+
+    _finish(fig, save_path)
 
 
 def plot_single_trajectory_with_condexp(model, params, process_type: str,
@@ -196,32 +217,35 @@ def plot_single_trajectory_with_condexp(model, params, process_type: str,
 
 def plot_relative_loss(history_paths: List[str], labels: List[str],
                        save_path: Optional[str] = None):
-    """Figure-2 style relative-loss overlay (reference utils/plotting.py:312-349)."""
-    plt.figure(figsize=(10, 6))
-    for history_path, label in zip(history_paths, labels):
-        try:
-            with open(history_path, "r") as f:
-                history = json.load(f)
-            if "relative_loss" in history:
-                epochs = range(len(history["relative_loss"]))
-                plt.plot(epochs, history["relative_loss"], label=label,
-                         linewidth=2)
-            else:
-                print(f"Warning: 'relative_loss' not found in {history_path}")
-        except FileNotFoundError:
-            print(f"Warning: History file {history_path} not found")
-        except json.JSONDecodeError:
-            print(f"Warning: Could not parse JSON from {history_path}")
+    """Overlay relative-loss curves from several runs' history.json files.
 
-    plt.xlabel("Epoch")
-    plt.ylabel("Relative Loss (L_model - L_true) / L_true")
-    plt.title("Relative Loss: Model vs True Conditional Expectation")
-    if plt.gca().get_legend_handles_labels()[0]:
-        plt.legend()
-    plt.grid(True, alpha=0.3)
-    if save_path:
-        plt.savefig(save_path, dpi=300, bbox_inches="tight")
-    plt.close()
+    Same artifact as the reference's figure-2 overlay (its
+    utils/plotting.py:312-349).  Runs whose history is missing, unparsable,
+    or lacks the ``relative_loss`` key are reported and skipped rather than
+    aborting the comparison.
+    """
+    fig, ax = plt.subplots(figsize=(10, 6))
+
+    drew_any = False
+    for history_path, label in zip(history_paths, labels):
+        history = _load_history(history_path)
+        if history is None:
+            continue
+        series = history.get("relative_loss")
+        if series is None:
+            print(f"[plotting] {history_path} has no relative_loss series; "
+                  "skipping")
+            continue
+        ax.plot(series, label=label, linewidth=2)
+        drew_any = True
+
+    ax.set(xlabel="Epoch",
+           ylabel="Relative Loss (L_model - L_true) / L_true",
+           title="Relative Loss: Model vs True Conditional Expectation")
+    if drew_any:
+        ax.legend()
+    ax.grid(True, alpha=0.3)
+    _finish(fig, save_path)
 
 
 def plot_relative_loss_single(history_path: str, save_path: Optional[str] = None):

@@ -31,26 +31,25 @@ run_one() {
 # rolling pool: whenever JOBS configs are in flight, wait for ANY one to
 # finish before launching the next (no batch barrier — a slow config never
 # idles the other slots)
-fail=0
-for hidden in 32 50 100; do
-  for layers in 1 2 3; do
-    while [ "$(jobs -rp | wc -l)" -ge "$JOBS" ]; do
-      wait -n || fail=1
-      [ "$fail" -ne 0 ] && break 3
-    done
-    run_one "$hidden" "$layers" "$@" &
-  done
-done
-while [ "$(jobs -rp | wc -l)" -gt 0 ]; do
-  wait -n || fail=1
-done
-if [ "$fail" -ne 0 ]; then
-  # stop the siblings still running before reporting failure
+abort() {
+  # stop the siblings still running, then reap them, before reporting
+  local remaining
   remaining="$(jobs -rp)"
   [ -n "$remaining" ] && kill $remaining 2>/dev/null
   wait 2>/dev/null || true
   echo "sweep config failed (see logs/)"
   exit 1
-fi
+}
+for hidden in 32 50 100; do
+  for layers in 1 2 3; do
+    while [ "$(jobs -rp | wc -l)" -ge "$JOBS" ]; do
+      wait -n || abort
+    done
+    run_one "$hidden" "$layers" "$@" &
+  done
+done
+while [ "$(jobs -rp | wc -l)" -gt 0 ]; do
+  wait -n || abort
+done
 
 python experiments/compare_experiments.py --sweep 'runs/sweep_h*_l*'

@@ -8,6 +8,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).parent.parent
 
 
@@ -44,6 +46,12 @@ def test_experiment_cli(tmp_path, script, name):
     history = json.loads((d / "history.json").read_text())
     assert len(history["train_loss"]) == 4
     assert all(x == x for x in history["train_loss"])  # no NaN
+    # --obs-only defaults to auto: exact obs-time sampling wherever the
+    # process has a transition law (the same fast path bench measures)
+    from njode_tpu.simulation import supports_obs_only
+    config = json.loads((d / "config.json").read_text())
+    assert config["data"]["obs_only"] == supports_obs_only(
+        config["data"]["process_type"])
 
 
 def test_compare_cli(tmp_path):

@@ -114,6 +114,40 @@ def test_orbax_sharded_params_roundtrip(tmp_path):
     assert h2["train_losses"] == [1.0]
 
 
+def test_orbax_restore_onto_different_topology(tmp_path):
+    """Restore targets the TEMPLATE's shardings, not the snapshot's.
+
+    Saves params sharded over an 8-device mesh, then restores against a
+    template living on a different topology (4-device mesh).  This is the
+    preemption-resume story multi-host checkpointing exists for; the
+    restore must land on the new mesh and must not fall back to orbax's
+    'restoring on a different topology is unsafe' guessing path.
+    """
+    import warnings
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh8 = Mesh(np.asarray(devs[:8]).reshape(8), ("data",))
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    params8 = {"w": jax.device_put(x, NamedSharding(mesh8, P("data", None)))}
+    path = str(tmp_path / "model.ckpt")
+    save_checkpoint(path, params8, {"count": jnp.zeros(())},
+                    {"train_losses": [1.0]}, backend="orbax")
+
+    mesh4 = Mesh(np.asarray(devs[:4]).reshape(4), ("data",))
+    tpl = {"w": jax.device_put(x, NamedSharding(mesh4, P("data", None)))}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any topology warning fails the test
+        p2, _, h2 = load_checkpoint(path, tpl, {"count": jnp.zeros(())})
+        p3 = load_params(path, tpl)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(p3["w"]), np.asarray(x))
+    assert p2["w"].sharding.is_equivalent_to(tpl["w"].sharding, 2)
+    assert h2["train_losses"] == [1.0]
+
+
 def test_run_experiment_resume_with_orbax(tmp_path):
     """End-to-end: train with the orbax backend, auto-resume, extend."""
     cfg = json.loads(json.dumps(TINY))
