@@ -145,6 +145,10 @@ def add_common_args(parser: argparse.ArgumentParser,
                         choices=['msgpack', 'orbax'],
                         help='Checkpoint format: single-file msgpack or an '
                              'Orbax directory (multi-host sharded params)')
+    parser.add_argument('--debug-checks', action='store_true',
+                        help='Enable in-graph runtime asserts (substep-'
+                             'budget exhaustion inside jitted steps); costs '
+                             'a host callback per dispatch')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='Write a jax.profiler trace of the run here')
     parser.add_argument('--no-plots', action='store_true',
@@ -202,6 +206,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
         "ensemble": args.ensemble,
+        "debug_checks": args.debug_checks,
         "seed": args.seed,
         "data_seed": args.data_seed,
         "data": {

@@ -66,6 +66,20 @@ def _split_opt_rng(rng: Optional[jax.Array], n: int):
     return [None] * n if rng is None else list(jax.random.split(rng, n))
 
 
+def _raise_on_substep_deficit(bad, deficit, max_substeps, dt_ode_step):
+    """Host side of the ``debug_checks`` runtime assert (runs via
+    jax.debug.callback; raising here surfaces as a JaxRuntimeError at the
+    jitted call site)."""
+    if bad:
+        raise ValueError(
+            f"substep budget exhausted inside a jitted call: a gap still had "
+            f"{float(deficit):.4g} left to integrate after max_substeps="
+            f"{int(max_substeps)} full steps of dt_ode_step="
+            f"{float(dt_ode_step)}; the final 'partial' step would silently "
+            f"span the remainder. Construct the model with t_max covering "
+            f"the largest observation gap (or pass max_substeps explicitly).")
+
+
 class NeuralJumpODE:
     """Pure-functional Neural Jump ODE.
 
@@ -98,7 +112,7 @@ class NeuralJumpODE:
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
                  use_pallas=False, dtype=jnp.float32, compute_dtype=None,
-                 ode_solver: str = "euler"):
+                 ode_solver: str = "euler", debug_checks: bool = False):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -112,6 +126,13 @@ class NeuralJumpODE:
         self.input_scaling = input_scaling
         self.variance_method = variance_method
         self.t_max = t_max
+        # debug_checks=True adds a runtime assert INSIDE jitted calls that
+        # the predicated substep loop actually reached every gap's target
+        # time (jax.debug.callback -> ValueError surfaced as a
+        # JaxRuntimeError); complements _check_substep_budget, which can
+        # only see concrete (non-traced) inputs.  Off by default: the
+        # callback costs a host round-trip per dispatched program.
+        self.debug_checks = debug_checks
         self.dtype = dtype
         if isinstance(compute_dtype, str):
             _named = {"float32": None, "none": None,
@@ -381,7 +402,8 @@ class NeuralJumpODE:
         if self.dt_ode_step is None:
             return self._euler(params, h, x_last, t_last, t_target, rng)
 
-        if rng is None and self._use_gap_scan(h.shape[1], inference):
+        if (rng is None and not self.debug_checks
+                and self._use_gap_scan(h.shape[1], inference)):
             from ..ops import integrate_gap_fused
             return integrate_gap_fused(
                 h, self._scale(x_last), t_last, t_target,
@@ -402,6 +424,14 @@ class NeuralJumpODE:
             return (h_c, t_cur)
 
         h, t_cur = lax.fori_loop(0, self.max_substeps, body, (h, t_last))
+        if self.debug_checks:
+            # the loop must have advanced every gap to within one dt of its
+            # target; a larger remainder means the static bound was too small
+            # and the 'partial' step below would under-integrate silently
+            deficit = jnp.max(t_target - t_cur)
+            bad = deficit > dt * (1.0 + 1e-6)
+            jax.debug.callback(_raise_on_substep_deficit, bad, deficit,
+                               self.max_substeps, self.dt_ode_step)
         pred2 = t_cur < t_target
         r = None if rng is None else jax.random.fold_in(rng, self.max_substeps)
         h_final = self._euler(params, h, x_last, t_cur, t_target, r)
@@ -413,7 +443,9 @@ class NeuralJumpODE:
         gap needs more full substeps than that, the final 'partial' step
         would silently span the remainder.  Checked on concrete (non-traced)
         inputs only — jitted callers are expected to have wired ``t_max``
-        from their data config (run_experiment does)."""
+        from their data config (run_experiment does), or can opt into the
+        in-graph runtime assert with ``debug_checks=True`` (checked on every
+        dispatch, traced or not)."""
         if self.dt_ode_step is None:
             return
         try:
@@ -669,14 +701,20 @@ class NeuralJumpODE:
             t_k, x_k, m_k = x
             t_kb = jnp.broadcast_to(t_k, (B,)).astype(self.dtype)
 
-            # integrate one grid cell with n_sub equal substeps
-            h_int = h
-            t_c = t_cur
+            # integrate one grid cell with n_sub equal substeps; fori_loop
+            # keeps the trace size O(1) in n_sub (a coarse grid with fine
+            # dt_ode_step can want n_sub in the hundreds)
             dt_sub = (t_kb - t_cur) / float(n_sub)
-            for _ in range(n_sub):
+
+            def sub_body(j, carry):
+                h_c, t_c = carry
                 t_n = t_c + dt_sub
-                h_int = self._euler(params, h_int, x_last, t_c, t_n)
-                t_c = t_n
+                return self._euler(params, h_c, x_last, t_c, t_n), t_n
+
+            if n_sub == 1:  # common case: no loop machinery
+                h_int, _ = sub_body(0, (h, t_cur))
+            else:
+                h_int, _ = lax.fori_loop(0, n_sub, sub_body, (h, t_cur))
 
             h_jump = self._jump(params, x_k)
             h_new = jnp.where(m_k[None, :, None], h_jump,
