@@ -5,6 +5,7 @@ from .sde import (
     TrajectoryBatch,
     bs_paths,
     bs_values_at,
+    hybrid_values_at,
     create_trajectory_batch,
     generate_black_scholes,
     generate_heston,
@@ -52,7 +53,7 @@ __all__ = [
     "generate_black_scholes", "generate_heston", "generate_hybrid_ou_bs",
     "generate_ou", "heston_paths", "hybrid_ou_bs_paths", "n_obs_for",
     "ou_paths", "sample_obs_indices", "simulate_batch",
-    "bs_values_at", "ou_values_at", "supports_obs_only",
+    "bs_values_at", "ou_values_at", "hybrid_values_at", "supports_obs_only",
     "subsample_random_grid_points",
     "condexp_black_scholes_on_grid", "condexp_heston_on_grid",
     "condexp_hybrid_on_grid", "condexp_ou_on_grid",

@@ -261,14 +261,16 @@ def subsample_random_grid_points(times, values, obs_fraction: float = 0.1,
 #
 # Training only ever consumes the subsampled observations, yet the grid
 # generators simulate every grid point (n_steps+1) and discard all but
-# n_obs of them.  Black-Scholes and OU have EXACT transition laws over an
-# arbitrary gap, so the observed values can be sampled directly at the
-# observation times — distribution-identical to grid-simulate-then-subsample
-# (both grid discretizations are exact; reference data_generation.py:30-44,
-# :80-92) at 1/(n_grid/n_obs) the generation cost.  Measured: the scaled
-# recipe's data generation drops ~25x (BENCH_NOTES.md).
+# n_obs of them.  Black-Scholes, OU and the hybrid OU->BS (both regimes
+# affine, switch at a known grid boundary) have EXACT transition laws over
+# an arbitrary gap, so the observed values can be sampled directly at the
+# observation times — distribution-identical to grid-simulate-then-
+# subsample (the grid discretizations are exact; reference
+# data_generation.py:30-44, :80-92, :96-162) at 1/(n_grid/n_obs) the
+# generation cost.  Measured: the scaled recipe's data generation drops
+# ~25x (BENCH_NOTES.md).
 
-OBS_ONLY_PROCESSES = ("black_scholes", "ornstein_uhlenbeck")
+OBS_ONLY_PROCESSES = ("black_scholes", "ornstein_uhlenbeck", "hybrid_ou_bs")
 
 
 def supports_obs_only(process_type: str) -> bool:
@@ -330,6 +332,66 @@ def ou_values_at(key: jax.Array, times: jnp.ndarray, theta: float = 1.0,
         [jnp.full((times.shape[0], 1), x0, dtype), A_c * x0 + U_c], axis=1)
 
 
+def hybrid_values_at(key: jax.Array, times: jnp.ndarray,
+                     theta_ou: float = 1.0, mu_ou: float = 0.0,
+                     sigma_ou: float = 0.3, mu_bs: float = 0.0,
+                     sigma_bs: float = 0.2, x0: float = 1.0,
+                     switch_time: Optional[float] = None,
+                     T: float = 1.0, n_steps: int = 100,
+                     dtype=jnp.float32):
+    """Exact hybrid OU->BS samples at per-row sorted grid times (B, N).
+
+    Both regimes are affine in X over an arbitrary gap — OU:
+    ``X' = a X + mu_ou (1 - a) + c xi`` (exact transition over duration d1);
+    BS: ``X' = X exp((mu_bs - sigma_bs^2/2) d2 + sigma_bs sqrt(d2) xi)`` —
+    so the gap map through the switch is the composition BS∘OU, itself
+    affine: one associative scan over the observation gaps samples the
+    whole batch (the per-path switch time is drawn FIRST, exactly like the
+    grid generator; reference data_generation.py:131-132).
+
+    Distribution-identity with grid-simulate-then-subsample requires using
+    the grid generator's *effective* switch point ``floor(sw/dt)*dt``: the
+    grid path changes regime at a step boundary (the ``int()`` truncation
+    at reference data_generation.py:140), and observation times are grid
+    points, so each gap splits into an OU part and a BS part at a point the
+    grid path also honors.
+
+    Returns ``(values (B, N), switch_times (B,))`` — switch_times are the
+    *drawn* (continuous) times, matching ``hybrid_ou_bs_paths``.
+    """
+    times = times.astype(dtype)
+    B = times.shape[0]
+    k_sw, k1, k2 = jax.random.split(key, 3)
+    if switch_time is None:
+        sw = jax.random.uniform(k_sw, (B,), dtype, 0.2 * T, 0.8 * T)
+    else:
+        sw = jnp.full((B,), switch_time, dtype)
+    dt = T / n_steps
+    t_eff = jnp.floor(sw / dt) * dt            # grid regime boundary
+
+    t0, t1 = times[:, :-1], times[:, 1:]       # (B, N-1) gap endpoints
+    swc = t_eff[:, None]
+    d1 = jnp.clip(jnp.minimum(t1, swc) - jnp.minimum(t0, swc), 0.0)  # OU part
+    d2 = jnp.clip(t1 - jnp.maximum(t0, swc), 0.0)                    # BS part
+
+    if theta_ou > 0:
+        a = jnp.exp(-theta_ou * d1)
+        c = sigma_ou * jnp.sqrt((1.0 - jnp.exp(-2.0 * theta_ou * d1))
+                                / (2.0 * theta_ou))
+    else:
+        a = jnp.ones_like(d1)
+        c = sigma_ou * jnp.sqrt(d1)
+    u = mu_ou * (1.0 - a) + c * jax.random.normal(k1, d1.shape, dtype)
+    G = jnp.exp((mu_bs - 0.5 * sigma_bs ** 2) * d2
+                + sigma_bs * jnp.sqrt(d2) * jax.random.normal(k2, d2.shape,
+                                                              dtype))
+    # gap map: X -> G * (a X + u)  =  (G a) X + (G u)
+    A_c, U_c = lax.associative_scan(_affine_combine, (G * a, G * u), axis=1)
+    X = jnp.concatenate(
+        [jnp.full((B, 1), x0, dtype), A_c * x0 + U_c], axis=1)
+    return X, sw
+
+
 # --------------------------------------------------------------------------
 # batched trajectory construction
 # --------------------------------------------------------------------------
@@ -381,11 +443,17 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
     in the batch (the reference discards them, :277,:279) but ``values``
     contains only the observed X, matching the reference.
 
-    ``obs_only=True`` (BS/OU only, see :func:`supports_obs_only`) samples the
-    values EXACTLY at the observation times and skips the unobserved grid:
-    same observation times as the grid path for the same key, same value
-    law, ~n_grid/n_obs cheaper.  ``batch.paths`` is None in this mode (use
-    the default for plotting/dense-grid work).
+    ``obs_only=True`` (BS/OU/hybrid, see :func:`supports_obs_only`) samples
+    the values EXACTLY at the observation times and skips the unobserved
+    grid: same observation times as the grid path for the same key, same
+    value law, ~n_grid/n_obs cheaper.  ``batch.paths`` is None in this mode
+    (use the default for plotting/dense-grid work); hybrid still returns
+    its per-path ``switch_times``.  Heston has no exact obs-time sampler:
+    the price at an observation time depends on the integrated variance
+    over the gap, whose exact joint transition (Broadie–Kaya) needs
+    Bessel-function CDF inversions — scalar, iterative, TPU-hostile — and
+    would change the data law relative to the reference's Euler grid
+    anyway (see BENCH_NOTES.md).
     """
     k_path, k_obs = jax.random.split(key)
     if obs_only:
@@ -402,19 +470,23 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
         times = grid_times[obs_idx]                            # (B, N)
         kw = {k: v for k, v in process_kwargs.items()
               if k not in ("T", "n_steps")}
+        switch_times = None
         from .registry import get_obs_values_fn
         custom_obs = get_obs_values_fn(process_type)
         if custom_obs is not None:
             values = custom_obs(k_path, times, **kw)
         elif process_type == "black_scholes":
             values = bs_values_at(k_path, times, **kw)
-        else:
+        elif process_type == "ornstein_uhlenbeck":
             values = ou_values_at(k_path, times, **kw)
+        else:  # hybrid_ou_bs: the regime split needs the grid discretization
+            values, switch_times = hybrid_values_at(
+                k_path, times, T=T, n_steps=n_steps, **kw)
         if values.ndim == 2:
             values = values[..., None]
         mask = jnp.ones(times.shape, dtype=bool)
         return TrajectoryBatch(times, values, mask, grid_times,
-                               obs_idx, None, None)
+                               obs_idx, None, switch_times)
     switch_times = None
     from .registry import get_paths_fn
     custom = get_paths_fn(process_type)

@@ -18,11 +18,15 @@ BS = dict(T=1.0, n_steps=50, mu=0.1, sigma=0.5, x0=1.0)
 OU = dict(T=1.0, n_steps=50, theta=1.0, mu=0.5, sigma=0.3, x0=0.0)
 
 
+HYB = dict(T=1.0, n_steps=50, theta_ou=1.0, mu_ou=0.5, sigma_ou=0.3,
+           mu_bs=0.1, sigma_bs=0.2, x0=1.0)
+
+
 def test_supports():
     assert supports_obs_only("black_scholes")
     assert supports_obs_only("ornstein_uhlenbeck")
+    assert supports_obs_only("hybrid_ou_bs")
     assert not supports_obs_only("heston")
-    assert not supports_obs_only("hybrid_ou_bs")
 
 
 def test_same_obs_times_as_grid_mode():
@@ -76,6 +80,74 @@ def test_intermediate_time_law():
     z = (np.log(x) - mu_log) / np.maximum(sd_log, 1e-12)
     assert abs(z.mean()) < 0.05
     np.testing.assert_allclose(z.var(), 1.0, rtol=0.05)
+
+
+@pytest.mark.parametrize("switch", [0.43, None])
+def test_hybrid_law_matches_grid_sampling(switch):
+    """Hybrid obs_only vs grid-simulate-then-subsample: identical stats at
+    every observation slot, for fixed AND random (drawn-first) switch."""
+    n = 20000
+    kw = dict(HYB, switch_time=switch)
+    a = simulate_batch(jax.random.PRNGKey(0), n, "hybrid_ou_bs", 0.1,
+                       obs_only=True, **kw)
+    b = simulate_batch(jax.random.PRNGKey(1), n, "hybrid_ou_bs", 0.1, **kw)
+    assert a.paths is None
+    assert a.switch_times is not None and a.switch_times.shape == (n,)
+    sw = np.asarray(a.switch_times)
+    if switch is None:
+        assert sw.min() >= 0.2 and sw.max() <= 0.8
+    else:
+        np.testing.assert_allclose(sw, switch)
+
+    # compare full per-slot moment profiles between the two samplers
+    # (slot j's time distribution is identical by construction — same
+    # subsampler law — so slot-wise stats are comparable)
+    xa, xb = np.asarray(a.values[..., 0]), np.asarray(b.values[..., 0])
+    np.testing.assert_allclose(xa.mean(0), xb.mean(0), rtol=0.03, atol=0.01)
+    np.testing.assert_allclose(xa.var(0), xb.var(0), rtol=0.12, atol=0.005)
+    # third moment too: the OU->BS composition is NOT Gaussian; matching
+    # skewness guards against a wrong regime split
+    sa = ((xa - xa.mean(0)) ** 3).mean(0)
+    sb = ((xb - xb.mean(0)) ** 3).mean(0)
+    np.testing.assert_allclose(sa, sb, rtol=0.35, atol=0.002)
+
+
+def test_hybrid_obs_only_same_times_and_switch_convention():
+    """Same key => same observation times as grid mode; gaps straddling the
+    effective switch boundary split exactly like the grid generator."""
+    key = jax.random.PRNGKey(9)
+    kw = dict(HYB, switch_time=0.5085)  # effective boundary floor(.5085/.02)*.02 = 0.5
+    a = simulate_batch(key, 64, "hybrid_ou_bs", 0.2, obs_only=True, **kw)
+    b = simulate_batch(key, 64, "hybrid_ou_bs", 0.2, **kw)
+    np.testing.assert_array_equal(np.asarray(a.obs_idx), np.asarray(b.obs_idx))
+    np.testing.assert_allclose(np.asarray(a.times), np.asarray(b.times))
+    np.testing.assert_allclose(np.asarray(a.values[:, 0, 0]), HYB["x0"])
+
+
+def test_hybrid_obs_only_pure_regime_limits():
+    """Degenerate switches reduce to the single-regime exact samplers."""
+    from njode_tpu.simulation import hybrid_values_at
+    times = jnp.tile(jnp.asarray([[0.0, 0.3, 0.7, 1.0]]), (30000, 1))
+    key = jax.random.PRNGKey(4)
+
+    # switch at T: pure OU — matches ou stats
+    x_ou, _ = hybrid_values_at(key, times, theta_ou=1.0, mu_ou=0.5,
+                               sigma_ou=0.3, mu_bs=0.1, sigma_bs=0.2,
+                               x0=0.0, switch_time=1.0, T=1.0, n_steps=50)
+    e = np.exp(-0.7)
+    m = 0.0 * e + 0.5 * (1 - e)
+    v = 0.3 ** 2 / 2 * (1 - e ** 2)
+    x = np.asarray(x_ou[:, 2])
+    np.testing.assert_allclose(x.mean(), m, atol=0.01)
+    np.testing.assert_allclose(x.var(), v, rtol=0.05)
+
+    # switch at 0 (effective boundary 0): pure BS — lognormal law
+    x_bs, _ = hybrid_values_at(key, times, theta_ou=1.0, mu_ou=0.5,
+                               sigma_ou=0.3, mu_bs=0.1, sigma_bs=0.2,
+                               x0=1.0, switch_time=0.0, T=1.0, n_steps=50)
+    lx = np.log(np.asarray(x_bs[:, 3]))
+    np.testing.assert_allclose(lx.mean(), (0.1 - 0.5 * 0.04) * 1.0, atol=0.01)
+    np.testing.assert_allclose(lx.var(), 0.04 * 1.0, rtol=0.05)
 
 
 def test_unsupported_raises():
