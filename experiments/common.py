@@ -118,11 +118,13 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Data-generation seed')
     parser.add_argument('--ensemble', type=int, default=0,
                         help='Train K independently-seeded models in ONE '
-                             'vmapped program (0/1 = single model). The '
-                             'checkpoint holds the stacked params, '
-                             'history.json adds member_train_loss, and the '
-                             'trajectory plot gains epistemic seed bands. '
-                             'Single-host; no resume')
+                             'vmapped program (0/1 = single model). '
+                             'First-class runs: per-member train/val/'
+                             'relative losses, checkpoint auto-resume, '
+                             'epistemic seed bands in the trajectory plot. '
+                             'With --data-parallel/--multihost the seed '
+                             'axis shards over the devices (K must be a '
+                             'multiple of the device count)')
     parser.add_argument('--obs-only', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='Sample values exactly at the observation times '

@@ -48,7 +48,17 @@ def _bundle(params: Any, opt_state: Any, histories: dict[str, list]) -> dict:
     }
     for k in HISTORY_KEYS:
         state[k] = np.asarray(histories.get(k, []), dtype=np.float64)
+    extra = _extra_histories(histories)
+    if extra:
+        state["extra_histories"] = extra
     return state
+
+
+def _extra_histories(histories: dict) -> dict:
+    """History keys beyond the reference's four — e.g. the (n_epochs, K)
+    per-member loss matrices of ensemble runs — as float64 arrays."""
+    return {k: np.asarray(v, dtype=np.float64)
+            for k, v in histories.items() if k not in HISTORY_KEYS}
 
 
 def _unbundle(state: dict, params_template: Any, opt_state_template: Any):
@@ -58,6 +68,8 @@ def _unbundle(state: dict, params_template: Any, opt_state_template: Any):
                                               state["optimizer_state_dict"])
     histories = {k: [float(x) for x in np.asarray(state.get(k, []))]
                  for k in HISTORY_KEYS}
+    for k, v in state.get("extra_histories", {}).items():
+        histories[k] = np.asarray(v).tolist()
     return params, opt_state, histories
 
 
@@ -95,6 +107,10 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
             **{k: np.asarray(histories[k], dtype=np.float64)
                for k in HISTORY_KEYS if len(histories.get(k, []))},
         }
+        extra = {k: v for k, v in _extra_histories(histories).items()
+                 if v.size}
+        if extra:
+            state["extra_histories"] = extra
         tmpdir = abspath + ".tmp_orbax"
         if primary and os.path.isdir(tmpdir):
             shutil.rmtree(tmpdir)

@@ -26,10 +26,16 @@ any other ensemble size bit-for-bit (``test_ensemble.py``).
 ``ensemble_predict`` + ``ensemble_mean_std`` give the payoff: epistemic
 (seed) uncertainty bands around the conditional-moment predictions, for the
 cost of one forward.
+
+``train_ensemble_full`` makes ensembles first-class experiments: per-member
+validation and relative losses recorded inside the same fused program,
+chunked execution with a checkpoint hook, and exact resume (the epoch/data
+key sequence continues where the previous run stopped).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -75,21 +81,44 @@ def shard_ensemble(mesh, tree, axis: str = "model"):
     return jax.tree_util.tree_map(place, tree)
 
 
-def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
-                   n_epochs: int, n_trajectories: int = 1000,
-                   batch_size: Optional[int] = 128, obs_fraction: float = 0.1,
-                   optimizer: Optional[optax.GradientTransformation] = None,
-                   seed: int = 0, data_seed: int = 0, shuffle: bool = True,
-                   share_data: bool = False, mesh=None,
-                   obs_only: bool = False,
-                   ignore_first_continuity: bool = True,
-                   moment_weights=None, variance_method: str = "direct",
-                   extended_moments: bool = False,
-                   **process_kwargs):
-    """Train K ensemble members in ONE jitted whole-run program.
+def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
+                        n_epochs: int, n_trajectories: int = 1000,
+                        batch_size: Optional[int] = 128,
+                        obs_fraction: float = 0.1,
+                        optimizer: Optional[optax.GradientTransformation] = None,
+                        seed: int = 0, data_seed: int = 0,
+                        shuffle: bool = True, share_data: bool = False,
+                        mesh=None, obs_only: bool = False,
+                        ignore_first_continuity: bool = True,
+                        moment_weights=None, variance_method: str = "direct",
+                        extended_moments: bool = False,
+                        n_val: int = 0, rel_eval: Optional[dict] = None,
+                        start_epoch: int = 0, initial_state=None,
+                        chunk_len: Optional[int] = None, on_chunk=None,
+                        **process_kwargs):
+    """Train K ensemble members with first-class evaluation and resume.
 
-    Returns ``(params_stack, losses)`` where every params leaf has a leading
-    (K,) axis and ``losses`` is (n_epochs, K) per-member mean epoch loss.
+    The epoch update is identical to :func:`train_ensemble` (member ``s``
+    stays bit-for-bit the same across ensemble sizes and regardless of the
+    evaluation extras); on top of it:
+
+    * ``n_val > 0``: a FIXED per-member validation batch is drawn once
+      (member-independent streams, shared when ``share_data``) and every
+      epoch records each member's validation loss — the single-model
+      ``Trainer.validate`` semantics, vmapped.
+    * ``rel_eval``: dict with ``times/values/mask`` (K, n_eval, ...) and
+      precomputed per-member true-predictor losses ``l_true`` (K,); each
+      epoch records the relative loss ``(L_model - L_true)/max(L_true,
+      1e-8)`` per member (reference utils/training.py:219-255 semantics).
+    * ``start_epoch``/``initial_state``: resume — continue the epoch/data
+      key sequence exactly where a previous run stopped.
+    * ``chunk_len``/``on_chunk``: the run executes as fused multi-epoch
+      chunks; after each chunk ``on_chunk(next_epoch, params, opt_state,
+      hist_so_far)`` runs on host (checkpointing hook).
+
+    Returns ``(params_stack, opt_state_stack, hist)`` where ``hist`` maps
+    ``train`` / ``val`` / ``rel`` to (n_epochs - start_epoch, K) arrays
+    (``val``/``rel`` only when requested).
 
     ``mesh`` (optional): shard the seed axis over the mesh's 'model' axis
     (see :func:`shard_ensemble`); per-member batches stay unsharded — the
@@ -98,29 +127,33 @@ def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
     from ..simulation import simulate_batch
 
     tx = optimizer if optimizer is not None else make_adam(1e-3, 5e-4)
-    # a Trainer only for its traced _epoch_update (one pytree of config);
-    # its own params/opt_state are unused.
+    # a Trainer only for its traced _epoch_update/_loss (one pytree of
+    # config); its own params/opt_state are unused.
     trainer = Trainer(model, optimizer=tx,
                       ignore_first_continuity=ignore_first_continuity,
                       moment_weights=moment_weights,
                       variance_method=variance_method,
                       extended_moments=extended_moments)
 
-    params = init_ensemble(model, n_seeds, seed=seed)
-    opt_state = jax.vmap(tx.init)(params)
+    if initial_state is not None:
+        params, opt_state = initial_state
+    else:
+        params = init_ensemble(model, n_seeds, seed=seed)
+        opt_state = jax.vmap(tx.init)(params)
     if mesh is not None:
         params = shard_ensemble(mesh, params)
         opt_state = shard_ensemble(mesh, opt_state)
 
     data_base = jax.random.PRNGKey(data_seed)
     step_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5eed)
+    seeds = jnp.arange(n_seeds)
 
     def member_data_key(epoch, s):
         k = jax.random.fold_in(data_base, epoch)
         return k if share_data else jax.random.fold_in(k, s)
 
-    def gen(key):
-        b = simulate_batch(key, n_trajectories, process_type, obs_fraction,
+    def gen(key, n):
+        b = simulate_batch(key, n, process_type, obs_fraction,
                            obs_only=obs_only, **process_kwargs)
         return b.times, b.values, b.mask
 
@@ -128,26 +161,73 @@ def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
         return trainer._epoch_update(p, s_state, times, values, mask, key,
                                      n_trajectories, batch_size, shuffle)
 
-    seeds = jnp.arange(n_seeds)
+    val_data = None
+    if n_val > 0:
+        vbase = jax.random.fold_in(data_base, 0x7a1)
+        vkeys = (jnp.broadcast_to(vbase, (n_seeds, *vbase.shape))
+                 if share_data else
+                 jax.vmap(lambda s: jax.random.fold_in(vbase, s))(seeds))
+        val_data = jax.jit(jax.vmap(lambda k: gen(k, n_val)))(vkeys)
+        if mesh is not None:
+            val_data = shard_ensemble(mesh, val_data)
 
     def epoch_body(carry, e):
         p, s_state = carry
         dkeys = jax.vmap(lambda s: member_data_key(e, s))(seeds)
-        times, values, mask = jax.vmap(gen)(dkeys)          # (K, n, N, ...)
+        times, values, mask = jax.vmap(lambda k: gen(k, n_trajectories))(
+            dkeys)                                           # (K, n, N, ...)
         ukeys = jax.vmap(
             lambda s: jax.random.fold_in(jax.random.fold_in(step_base, e), s)
         )(seeds)
         p, s_state, loss = jax.vmap(member_update)(p, s_state, times,
                                                    values, mask, ukeys)
-        return (p, s_state), loss                            # loss: (K,)
+        out = {"train": loss}                                # (K,)
+        if val_data is not None:
+            out["val"] = jax.vmap(trainer._loss)(p, *val_data)
+        if rel_eval is not None:
+            l_model = jax.vmap(trainer._loss_no_first)(
+                p, rel_eval["times"], rel_eval["values"], rel_eval["mask"])
+            out["rel"] = ((l_model - rel_eval["l_true"])
+                          / jnp.maximum(rel_eval["l_true"], 1e-8))
+        return (p, s_state), out
 
-    def run(p, s_state):
-        (p, s_state), losses = lax.scan(epoch_body, (p, s_state),
-                                        jnp.arange(n_epochs))
-        return p, losses
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(p, s_state, e0, n):
+        (p, s_state), hist = lax.scan(epoch_body, (p, s_state),
+                                      e0 + jnp.arange(n))
+        return p, s_state, hist
 
-    params, losses = jax.jit(run)(params, opt_state)
-    return params, losses
+    if not chunk_len:
+        chunk_len = max(n_epochs - start_epoch, 1)
+    hists = []
+    e = start_epoch
+    while e < n_epochs:
+        n = min(chunk_len, n_epochs - e)
+        params, opt_state, h = run_chunk(params, opt_state, e, n)
+        hists.append(jax.tree_util.tree_map(jnp.asarray, h))
+        e += n
+        if on_chunk is not None:
+            merged = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *hists)
+            on_chunk(e, params, opt_state, merged)
+    hist = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *hists) if hists else {
+        "train": jnp.zeros((0, n_seeds))}
+    return params, opt_state, hist
+
+
+def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,
+                   n_epochs: int, **kwargs):
+    """Train K ensemble members in ONE jitted whole-run program.
+
+    Thin wrapper over :func:`train_ensemble_full` without the evaluation /
+    resume extras.  Returns ``(params_stack, losses)`` where every params
+    leaf has a leading (K,) axis and ``losses`` is (n_epochs, K) per-member
+    mean epoch loss.
+    """
+    params, _, hist = train_ensemble_full(model, process_type, n_seeds,
+                                          n_epochs, **kwargs)
+    return params, hist["train"]
 
 
 def ensemble_predict(model: NeuralJumpODE, params_stack, times, values,
