@@ -99,6 +99,16 @@ def add_common_args(parser: argparse.ArgumentParser,
     parser.add_argument('--data-parallel', type=int, default=0,
                         help='Shard trajectories over N devices (0 = single '
                              'device)')
+    parser.add_argument('--model-parallel', type=int, default=1,
+                        help='Size of the mesh\'s model axis (composes with '
+                             '--data-parallel/--multihost): shards the '
+                             'per-moment networks (mode "moments", expert '
+                             'parallelism) or the hidden width (mode '
+                             '"hidden", tensor parallelism) over N devices')
+    parser.add_argument('--model-parallel-mode', type=str, default=None,
+                        choices=['moments', 'hidden'],
+                        help='What the model axis shards (default: moments '
+                             'when --model-parallel > 1)')
     parser.add_argument('--multihost', action='store_true',
                         help='Initialize jax.distributed and build the data-'
                              'parallel mesh over every host\'s devices; run '
@@ -201,6 +211,8 @@ def build_config(args, experiment_name: str, process_type: str,
         "shared_network": args.shared_network,
         "extended_moments": args.extended_moments,
         "data_parallel": args.data_parallel,
+        "model_parallel": args.model_parallel,
+        "model_parallel_mode": args.model_parallel_mode,
         "multihost": args.multihost,
         "coordinator_address": args.coordinator_address,
         "num_processes": args.num_processes,

@@ -130,6 +130,19 @@ def save_checkpoint(path: str, params: Any, opt_state: Any,
         return
     if backend != "msgpack":
         raise ValueError(f"Unknown checkpoint backend: {backend}")
+    if multiproc:
+        leaves = jax.tree_util.tree_leaves((params, opt_state))
+        if any(getattr(x, "is_fully_addressable", True) is False
+               for x in leaves):
+            # cross-process shards cannot be numpy-ified by one writer;
+            # orbax saves collectively (each process writes its shards) and
+            # the loader auto-detects the format, so resume still works
+            if primary:
+                print("save_checkpoint: params are sharded across processes;"
+                      " msgpack cannot serialize them — writing an Orbax"
+                      " checkpoint instead (auto-detected on load)")
+            return save_checkpoint(path, params, opt_state, histories,
+                                   backend="orbax")
     if primary:
         # params are replicated (or numpy) on every process; one writer is
         # enough and avoids same-file races on a shared filesystem

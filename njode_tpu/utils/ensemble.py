@@ -170,32 +170,47 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
         val_data = jax.jit(jax.vmap(lambda k: gen(k, n_val)))(vkeys)
         if mesh is not None:
             val_data = shard_ensemble(mesh, val_data)
+    if mesh is not None and rel_eval is not None:
+        # member-axis eval data follows its member's shard (and becomes a
+        # global array, required when the mesh spans processes)
+        rel_eval = shard_ensemble(mesh, rel_eval)
 
-    def epoch_body(carry, e):
-        p, s_state = carry
-        dkeys = jax.vmap(lambda s: member_data_key(e, s))(seeds)
-        times, values, mask = jax.vmap(lambda k: gen(k, n_trajectories))(
-            dkeys)                                           # (K, n, N, ...)
-        ukeys = jax.vmap(
-            lambda s: jax.random.fold_in(jax.random.fold_in(step_base, e), s)
-        )(seeds)
-        p, s_state, loss = jax.vmap(member_update)(p, s_state, times,
-                                                   values, mask, ukeys)
-        out = {"train": loss}                                # (K,)
-        if val_data is not None:
-            out["val"] = jax.vmap(trainer._loss)(p, *val_data)
-        if rel_eval is not None:
-            l_model = jax.vmap(trainer._loss_no_first)(
-                p, rel_eval["times"], rel_eval["values"], rel_eval["mask"])
-            out["rel"] = ((l_model - rel_eval["l_true"])
-                          / jnp.maximum(rel_eval["l_true"], 1e-8))
-        return (p, s_state), out
-
+    # val_data/rel_eval enter as ARGUMENTS (global arrays may not be closed
+    # over when the mesh spans processes)
     @partial(jax.jit, static_argnames=("n",))
-    def run_chunk(p, s_state, e0, n):
+    def run_chunk(p, s_state, e0, n, vdat, rel):
+        def epoch_body(carry, e):
+            p, s_state = carry
+            dkeys = jax.vmap(lambda s: member_data_key(e, s))(seeds)
+            times, values, mask = jax.vmap(lambda k: gen(k, n_trajectories))(
+                dkeys)                                       # (K, n, N, ...)
+            ukeys = jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.fold_in(step_base, e),
+                                             s))(seeds)
+            p, s_state, loss = jax.vmap(member_update)(p, s_state, times,
+                                                       values, mask, ukeys)
+            out = {"train": loss}                            # (K,)
+            if vdat is not None:
+                out["val"] = jax.vmap(trainer._loss)(p, *vdat)
+            if rel is not None:
+                l_model = jax.vmap(trainer._loss_no_first)(
+                    p, rel["times"], rel["values"], rel["mask"])
+                out["rel"] = ((l_model - rel["l_true"])
+                              / jnp.maximum(rel["l_true"], 1e-8))
+            return (p, s_state), out
+
         (p, s_state), hist = lax.scan(epoch_body, (p, s_state),
                                       e0 + jnp.arange(n))
         return p, s_state, hist
+
+    def host_value(x):
+        """Per-epoch loss rows come back sharded over the seed axis; gather
+        them to every host for the history lists."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return jnp.asarray(multihost_utils.process_allgather(x,
+                                                                 tiled=True))
+        return jnp.asarray(x)
 
     if not chunk_len:
         chunk_len = max(n_epochs - start_epoch, 1)
@@ -203,8 +218,9 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
     e = start_epoch
     while e < n_epochs:
         n = min(chunk_len, n_epochs - e)
-        params, opt_state, h = run_chunk(params, opt_state, e, n)
-        hists.append(jax.tree_util.tree_map(jnp.asarray, h))
+        params, opt_state, h = run_chunk(params, opt_state, e, n,
+                                         val_data, rel_eval)
+        hists.append(jax.tree_util.tree_map(host_value, h))
         e += n
         if on_chunk is not None:
             merged = jax.tree_util.tree_map(

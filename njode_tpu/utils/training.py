@@ -175,7 +175,8 @@ class Trainer:
                  variance_method: str = "direct",
                  extended_moments: bool = False,
                  mesh=None, seed: int = 0,
-                 checkpoint_backend: str = "msgpack"):
+                 checkpoint_backend: str = "msgpack",
+                 model_shard: str = "none"):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else make_adam(1e-3)
         self.device = device
@@ -185,6 +186,10 @@ class Trainer:
         self.extended_moments = extended_moments
         self.checkpoint_backend = checkpoint_backend
         self.mesh = mesh
+        if model_shard not in ("none", "moments", "hidden"):
+            raise ValueError(f"Unknown model_shard: {model_shard!r} "
+                             "(one of 'none', 'moments', 'hidden')")
+        self.model_shard = model_shard
         self._rng = jax.random.PRNGKey(seed)
 
         self.params = model.init(jax.random.fold_in(self._rng, 0))
@@ -214,8 +219,10 @@ class Trainer:
         if self.mesh is None:
             return
         from ..parallel import shard_params
-        self.params = shard_params(self.mesh, self.params)
-        self.opt_state = shard_params(self.mesh, self.opt_state)
+        kw = dict(moment_axis=self.model_shard == "moments",
+                  hidden_axis=self.model_shard == "hidden")
+        self.params = shard_params(self.mesh, self.params, **kw)
+        self.opt_state = shard_params(self.mesh, self.opt_state, **kw)
 
     # ------------------------------------------------------------- loss fn
 
@@ -724,10 +731,11 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
             mesh = make_mesh(data=1, model=n_dev)
     elif multihost:
         from ..parallel import global_mesh
-        mesh = global_mesh()
-    elif n_dp and n_dp > 1:
+        mesh = global_mesh(model=int(config.get("model_parallel", 1) or 1))
+    elif (n_dp and n_dp > 1) or int(config.get("model_parallel", 1) or 1) > 1:
         from ..parallel import make_mesh
-        mesh = make_mesh(data=n_dp)
+        mesh = make_mesh(data=(n_dp if n_dp and n_dp > 1 else None),
+                         model=int(config.get("model_parallel", 1) or 1))
 
     model = NeuralJumpODE(
         input_dim=config["input_dim"],
@@ -764,7 +772,11 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
                       mesh=mesh,
                       seed=config.get("seed", 0),
                       checkpoint_backend=config.get("checkpoint_backend",
-                                                    "msgpack"))
+                                                    "msgpack"),
+                      model_shard=(config.get("model_parallel_mode")
+                                   or ("moments"
+                                       if int(config.get("model_parallel", 1)
+                                              or 1) > 1 else "none")))
 
     train_data_fn, val_data_fn = create_data_loaders(
         base_seed=config.get("data_seed", 0), **config["data"])
@@ -983,9 +995,9 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
         if resumed and next_epoch - len(new_rows["train"]) == start_epoch:
             msg += " (resumed)"
         print(msg, flush=True)
-        if is_primary:
-            save_checkpoint(ckpt_path, p, o, ckpt_histories(),
-                            backend=backend)
+        # collective: every process calls (orbax saves shards collectively;
+        # msgpack writes on process 0 and barriers inside)
+        save_checkpoint(ckpt_path, p, o, ckpt_histories(), backend=backend)
 
     member_rows_base = {k: list(v) for k, v in member_rows.items()}
     start_epoch_rows = len(member_rows["train"])
@@ -1014,9 +1026,9 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
     print(f"Trained {n_seeds}-member ensemble x {n_epochs - start_epoch} "
           f"epochs; final member losses "
           f"{[round(x, 4) for x in member_rows['train'][-1]]}")
+    save_checkpoint(ckpt_path, params_stack, opt_state, ckpt_histories(),
+                    backend=backend)
     if is_primary:
-        save_checkpoint(ckpt_path, params_stack, opt_state, ckpt_histories(),
-                        backend=backend)
         with open(save_path / "history.json", "w") as f:
             json.dump(history, f, indent=2)
     print(f"Experiment completed. Results saved to {save_path}")

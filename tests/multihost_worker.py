@@ -120,6 +120,72 @@ def phase_b_run_experiment(workdir: str):
     return final
 
 
+EP_CONFIG = {
+    "experiment_name": "mh_ep",
+    "input_dim": 1, "hidden_dim": 16, "output_dim": 1,
+    "n_hidden_layers": 1, "activation": "relu",
+    "num_moments": 2, "moment_weights": [1.0, 10.0],
+    "ignore_first_continuity": True,
+    "learning_rate": 1e-3, "weight_decay": 5e-4,
+    "n_epochs": 2, "batch_size": None, "print_every": 2,
+    "model_parallel": 2, "model_parallel_mode": "moments",
+    "checkpoint_backend": "orbax",
+    "data": {
+        "process_type": "black_scholes",
+        "n_train": 32, "n_val": 16, "obs_fraction": 0.2,
+        "cache_data": False, "T": 1.0, "n_steps": 20,
+        "mu": 0.1, "sigma": 0.5, "x0": 1.0,
+    },
+}
+
+ENS_CONFIG = {
+    "experiment_name": "mh_ens",
+    "input_dim": 1, "hidden_dim": 8, "output_dim": 1,
+    "n_hidden_layers": 1, "activation": "relu",
+    "num_moments": 2, "moment_weights": [1.0, 10.0],
+    "ignore_first_continuity": True,
+    "learning_rate": 1e-2, "weight_decay": 5e-4,
+    "n_epochs": 2, "batch_size": 16, "print_every": 2,
+    "ensemble": 8,
+    "data": {
+        "process_type": "black_scholes",
+        "n_train": 16, "n_val": 8, "obs_fraction": 0.2,
+        "cache_data": False, "obs_only": True, "T": 1.0, "n_steps": 20,
+        "mu": 0.1, "sigma": 0.5, "x0": 1.0,
+    },
+}
+
+
+def phase_c_model_axis(workdir: str):
+    """run_experiment over a (data=4, model=2) mesh spanning both
+    processes, the moment networks sharded over the model axis (EP)."""
+    import copy
+
+    from njode_tpu.utils import run_experiment
+
+    config = copy.deepcopy(EP_CONFIG)
+    config["multihost"] = True
+    results = run_experiment(config, save_dir=workdir)
+    return results["final_train_loss"]
+
+
+def phase_d_sharded_ensemble(workdir: str):
+    """run_experiment --ensemble 8 --multihost: the seed axis shards over
+    all 8 devices (4 members per process), with per-member val/rel loss."""
+    import copy
+
+    from njode_tpu.utils import run_experiment
+
+    config = copy.deepcopy(ENS_CONFIG)
+    config["multihost"] = True
+    results = run_experiment(config, save_dir=workdir)
+    h = results["history"]
+    assert len(h["val_loss"]) == 2 and len(h["relative_loss"]) == 1
+    import numpy as np
+    assert np.asarray(h["member_train_loss"]).shape == (2, 8)
+    return results["final_train_loss"]
+
+
 def main():
     process_id, num_processes, port, workdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
@@ -132,6 +198,12 @@ def main():
     final = phase_b_run_experiment(workdir)
     print(f"FINAL_LOSS {float(final).hex()}", flush=True)
     print("RESUME_OK", flush=True)
+
+    ep_final = phase_c_model_axis(workdir)
+    print(f"EP_LOSS {float(ep_final).hex()}", flush=True)
+
+    ens_final = phase_d_sharded_ensemble(workdir)
+    print(f"ENS_LOSS {float(ens_final).hex()}", flush=True)
 
 
 if __name__ == "__main__":

@@ -111,3 +111,46 @@ def test_run_experiment_multihost_orbax_resume(two_process_run):
     assert finals[0] == finals[1]
     import math
     assert math.isfinite(finals[0])
+
+
+def test_multihost_model_axis_matches_single_process(two_process_run):
+    """--model-parallel 2 under --multihost: the (data=4, model=2) mesh
+    spans both processes with the moment networks sharded over the model
+    axis (EP), and the result matches the same config run single-process
+    on the 8-device virtual mesh at collective reduction tolerance."""
+    import copy
+
+    from multihost_worker import EP_CONFIG
+    from njode_tpu.utils.training import run_experiment
+
+    multi = [float.fromhex(_extract(o, "EP_LOSS")) for o in two_process_run]
+    assert multi[0] == multi[1]
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cfg = copy.deepcopy(EP_CONFIG)
+        cfg["checkpoint_backend"] = "msgpack"
+        single = run_experiment(cfg, save_dir=d)["final_train_loss"]
+    assert abs(single - multi[0]) <= 1e-5 * abs(single), (
+        f"single-process {single!r} != two-process {multi[0]!r}")
+
+
+def test_multihost_sharded_ensemble(two_process_run):
+    """--ensemble 8 --multihost: the seed axis shards over both processes'
+    devices; per-member histories recorded; matches the single-process
+    sharded run at reduction tolerance."""
+    import copy
+
+    from multihost_worker import ENS_CONFIG
+    from njode_tpu.utils.training import run_experiment
+
+    multi = [float.fromhex(_extract(o, "ENS_LOSS")) for o in two_process_run]
+    assert multi[0] == multi[1]
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cfg = copy.deepcopy(ENS_CONFIG)
+        cfg["data_parallel"] = 8  # single-process: same seed-axis sharding
+        single = run_experiment(cfg, save_dir=d)["final_train_loss"]
+    assert abs(single - multi[0]) <= 1e-5 * abs(single), (
+        f"single-process {single!r} != two-process {multi[0]!r}")
