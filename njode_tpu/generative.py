@@ -80,7 +80,11 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
         stochastic laws ("mean" works with any).
       key:    PRNG key.
       n_paths: number of sampled trajectories B.
-      grid_times: (G,) strictly increasing sampling grid.
+      grid_times: strictly increasing target times — (G,) shared by every
+        path or (B, G) per-path.  Spacing is arbitrary (each step
+        integrates its own gap, the same machinery as ``predict_at``);
+        irregular times such as a ``TrajectoryBatch.times`` matrix from an
+        ``obs_only`` batch work directly.
       x0: initial value(s) at ``grid_times[0]`` — scalar, (d_x,), or
         (B, d_x).  Ignored when conditioning observations are given.
       law: one of "gaussian" | "lognormal" | "mean" (see module docstring).
@@ -104,8 +108,15 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
             f"{model.num_moments}); use law='mean'")
 
     grid_times = jnp.asarray(grid_times, model.dtype)
-    G = grid_times.shape[0]
     B = n_paths
+    if grid_times.ndim == 2:
+        if grid_times.shape[0] != B:
+            raise ValueError(f"per-path times have leading dim "
+                             f"{grid_times.shape[0]}, expected n_paths={B}")
+        t_grid = grid_times                                   # (B, G)
+    else:
+        t_grid = jnp.broadcast_to(grid_times[None], (B, grid_times.shape[0]))
+    G = t_grid.shape[1]
     d_x = model.input_dim
 
     if obs_values is not None:
@@ -121,11 +132,12 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
         else:  # (d_x,) -> (1, d_x); (B,) with d_x == 1 or (B, d_x) -> (B, d_x)
             x0a = x0a.reshape(-1, d_x)
         x_start = jnp.broadcast_to(x0a, (B, d_x))
-        t_start = jnp.broadcast_to(grid_times[0], (B,))
+        t_start = t_grid[:, 0]
         first_is_draw = False
 
     model._check_gap_budget(
-        jnp.diff(jnp.concatenate([t_start[:1], grid_times])))
+        jnp.diff(jnp.concatenate([t_start[:, None], t_grid], axis=1),
+                 axis=1))
 
     def one_step(x_cur, t_cur, t_next, k):
         """Advance every path one grid cell: jump, integrate, read out, draw."""
@@ -141,22 +153,20 @@ def sample_paths(model: NeuralJumpODE, params, key: jax.Array, n_paths: int,
     keys = jax.random.split(key, G)
 
     if first_is_draw:
-        x_first = one_step(x_start, t_start,
-                           jnp.broadcast_to(grid_times[0], (B,)), keys[0])
+        x_first = one_step(x_start, t_start, t_grid[:, 0], keys[0])
     else:
         x_first = x_start
 
     def scan_step(carry, inp):
         x_cur, t_cur = carry
-        t_next, k = inp
-        t_next_b = jnp.broadcast_to(t_next, (B,))
-        x_next = one_step(x_cur, t_cur, t_next_b, k)
-        return (x_next, t_next_b), x_next
+        t_next, k = inp                                       # t_next: (B,)
+        x_next = one_step(x_cur, t_cur, t_next, k)
+        return (x_next, t_next), x_next
 
     (_, _), xs = lax.scan(
         scan_step,
-        (x_first, jnp.broadcast_to(grid_times[0], (B,))),
-        (grid_times[1:], keys[1:]))
+        (x_first, t_grid[:, 0]),
+        (jnp.swapaxes(t_grid[:, 1:], 0, 1), keys[1:]))
     samples = jnp.concatenate([x_first[:, None], jnp.swapaxes(xs, 0, 1)],
                               axis=1)                      # (B, G, d_x)
     return samples
