@@ -175,7 +175,8 @@ class NeuralJumpODE:
         #   overhead), enabled only with use_pallas=True/'interpret'.
         # 'interpret' runs both in interpreter mode (for CPU tests);
         # False (default) disables both.
-        from ..ops import fused_cell_available, gap_scan_available
+        from ..ops import (fused_cell_available, fused_step_available,
+                           gap_scan_available)
         self.use_pallas = use_pallas
         # both kernels implement the (reference-exact) Euler step only
         self._fused_eligible = (ode_solver == "euler") and fused_cell_available(
@@ -183,8 +184,17 @@ class NeuralJumpODE:
         self._gap_eligible = (ode_solver == "euler") and gap_scan_available(
             n_hidden_layers, activation.lower(), dropout_rate,
             input_scaling.lower())
+        # the whole-step fused kernel (use_pallas="step"): jump -> gap Euler
+        # -> readout in ONE program per row tile, activations never touch
+        # HBM (ops/fused_step.py; targets the hidden>=256 MFU headroom)
+        self._step_eligible = fused_step_available(
+            shared_network, input_dim, output_dim, n_hidden_layers,
+            activation.lower(), dropout_rate, input_scaling.lower(),
+            dt_ode_step, ode_solver)
 
     def _pallas_on(self) -> bool:
+        if self.use_pallas in ("step", "step-interpret"):
+            return False  # the whole-step kernel replaces the per-gap ones
         if self.use_pallas is False or self.compute_dtype is not None:
             return False  # kernels are f32-only
         if self.use_pallas == "interpret":
@@ -192,6 +202,17 @@ class NeuralJumpODE:
         import jax as _jax
         on_tpu = _jax.default_backend() in ("tpu",)
         return on_tpu if self.use_pallas == "auto" else bool(self.use_pallas)
+
+    def _use_fused_step(self, n_slots: int) -> bool:
+        if self.use_pallas not in ("step", "step-interpret"):
+            return False
+        if not self._step_eligible:
+            return False
+        if self.compute_dtype not in (None, jnp.bfloat16):
+            return False
+        from ..ops.fused_step import LANES, _slot_cols
+        return (2 * n_slots <= LANES
+                and _slot_cols(n_slots, self.num_moments) <= LANES)
 
     def _use_fused(self) -> bool:
         # the per-substep fused cell only wins when explicitly requested
@@ -535,6 +556,16 @@ class NeuralJumpODE:
             r_jump, r_out_a, r_gap, r_out_b = jax.random.split(rng, 4)
         else:
             r_jump = r_out_a = r_gap = r_out_b = None
+
+        if not use_rng and self._use_fused_step(N):
+            from ..ops.fused_step import fused_step_apply
+            return fused_step_apply(
+                params, times, values,
+                num_moments=self.num_moments, hidden_dim=self.hidden_dim,
+                activation=self.activation.lower(),
+                input_scaling=self.input_scaling.lower(),
+                compute_dtype=self.compute_dtype,
+                interpret=(self.use_pallas == "step-interpret"))
 
         # ---- jump + after-jump readout at ALL slots: fold (B, N) ----
         x_flat = values.reshape(B * N, d_x)

@@ -9,8 +9,10 @@ from .fused_cell import (
     fused_euler_cell,
     ode_euler_fused,
 )
+from .fused_step import fused_step_apply, fused_step_available
 from .gap_scan import gap_scan_available, integrate_gap_fused
 
 __all__ = ["HAS_PALLAS", "SUPPORTED_ACTS", "fused_cell_available",
            "fused_euler_cell", "ode_euler_fused",
+           "fused_step_apply", "fused_step_available",
            "gap_scan_available", "integrate_gap_fused"]

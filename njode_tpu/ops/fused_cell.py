@@ -47,10 +47,17 @@ _ACT = {
     "leaky_relu": jax.nn.leaky_relu,
     "selu": jax.nn.selu,
 }
+_SELU_L = 1.0507009873554805  # jax.nn.selu's scale/alpha constants
+_SELU_A = 1.6732632423543772
 _ACT_GRAD = {
     "relu": lambda pre: (pre > 0).astype(pre.dtype),
     "tanh": lambda pre: 1.0 - jnp.tanh(pre) ** 2,
     "sigmoid": lambda pre: jax.nn.sigmoid(pre) * (1 - jax.nn.sigmoid(pre)),
+    "elu": lambda pre: jnp.where(pre > 0, 1.0, jnp.exp(jnp.minimum(pre, 0.0))),
+    "leaky_relu": lambda pre: jnp.where(pre > 0, 1.0, 0.01),
+    "selu": lambda pre: jnp.where(
+        pre > 0, _SELU_L,
+        _SELU_L * _SELU_A * jnp.exp(jnp.minimum(pre, 0.0))),
 }
 
 SUPPORTED_ACTS = tuple(_ACT_GRAD)  # custom-vjp path needs the analytic grad

@@ -1,0 +1,443 @@
+"""Pallas TPU kernel: the fused whole-batch NJ-ODE training step.
+
+Motivation (BENCH_NOTES.md "MFU / roofline"): at the scaled config (hidden
+256, B=4096) the XLA training step sits at 24-30% MFU between the memory
+and MXU rooves — every matmul's (R, H) activation round-trips HBM between
+ops.  This kernel runs the ENTIRE per-slot computation of
+``NeuralJumpODE.apply`` (reference hot loop: models/jump_ode.py:142-216) as
+one Pallas program per row-tile of trajectories:
+
+    for each observation slot s:                    (static Python loop)
+        a1   = act(x_s * j1 + bj1)                  jump layer 0 (VPU rank-1)
+        hj_s = act(a1 @ J2 + bj2)                   jump layer 1 (MXU)
+        u_s  = act(hj_s @ O1 + bo1)                 readout layer 0 (MXU)
+        ya_s = u_s @ o2            (+ bo2 in XLA)   after-jump prediction
+        if s > 0:   # the gap (slot s-1 -> s), ONE Euler step (dt_ode_step=None)
+            base = scale(x_{s-1})*w1x + t_{s-1}*w1t + dt*w1d + b1
+            g1   = act(scale(hj_{s-1}) @ W1h + base)  ODEFunc layer 0 (MXU)
+            dh   = g1 @ W2 + b2                        ODEFunc layer 1 (MXU)
+            hm   = hj_{s-1} + dt * dh                  Euler update
+            ub   = act(hm @ O1 + bo1)                  readout (MXU)
+            yb_s = ub @ o2         (+ bo2 in XLA)      before-jump prediction
+
+so the weights load into VMEM ONCE per tile sweep (constant block index)
+and no activation ever touches HBM.  The scalar inputs (x_s, t_s — a few
+bytes per trajectory) are the only per-row traffic; outputs are the
+K*(2N-1) prediction scalars per row.
+
+The backward pass is a second kernel that REMATERIALIZES each slot's
+activations in VMEM from those same scalars and walks the chain in
+reverse, accumulating parameter cotangents in VMEM scratch across the row
+tiles (written out at the final grid step).  This works without any
+cross-slot residual state because the NJ-ODE jump RESETS the latent at
+every observation — slot s's backward is completely local to slot s and
+its outgoing gap (the same scan-free structure the XLA path exploits).
+Input cotangents are not needed (times/values are data), so the backward
+emits parameter gradients only.
+
+Mixed precision: with ``compute_dtype=bfloat16`` the matmul operands are
+cast to bf16 at the MXU boundary (weights are pre-cast once on the host
+side of the call), accumulating in f32 — the same convention as the
+model's ``_mp`` path.
+
+Applicability (falls back to pure XLA otherwise): separate networks,
+input_dim == output_dim == 1, n_hidden_layers == 1, no dropout,
+``dt_ode_step is None`` (single Euler step per gap — the scaled-sweep and
+default-CLI configs), analytic-gradient activation/scaling, and
+K*(2N-1) <= 128 output lanes.
+
+Floating-point note: the feature-matmul split and the fused reduction
+order differ from XLA's, so forward values match to ~1e-5 and gradients to
+~1e-4 relative (tested in tests/test_fused_step.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    HAS_PALLAS = False
+
+from .fused_cell import _ACT, _ACT_GRAD, SUPPORTED_ACTS, _round_up
+from .gap_scan import _SCALE, _SCALE_GRAD
+
+LANES = 128
+N_VEC = 16          # padded vector-param rows per moment
+(ROW_J1, ROW_BJ1, ROW_BJ2, ROW_W1X, ROW_W1T, ROW_W1D, ROW_B1, ROW_B2,
+ ROW_BO1, ROW_O2) = range(10)
+# matrix-param planes per moment
+(MAT_J2, MAT_O1, MAT_W1H, MAT_W2) = range(4)
+
+# row-tile: 256 trajectories keeps the ~10 live (RT, Hp) f32 activation
+# buffers plus 2x weights plus the gradient accumulators inside VMEM at
+# Hp=256 (~9 MB); smaller tiles only add grid steps.
+ROW_TILE = 256
+
+
+def fused_step_available(shared_network: bool, input_dim: int,
+                         output_dim: int, n_hidden_layers: int,
+                         activation: str, dropout_rate: float,
+                         input_scaling: str, dt_ode_step,
+                         ode_solver: str = "euler") -> bool:
+    return (HAS_PALLAS and not shared_network and input_dim == 1
+            and output_dim == 1 and n_hidden_layers == 1
+            and dropout_rate == 0.0 and dt_ode_step is None
+            and ode_solver == "euler" and activation in SUPPORTED_ACTS
+            and input_scaling in _SCALE)
+
+
+def _slot_cols(N: int, K: int):
+    """Output-lane layout: ya at k*N+s, yb (gap s-1 -> s) at K*N+k*(N-1)+s-1."""
+    return K * (2 * N - 1)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
+                *, N: int, K: int, act: str, scale: str, cdt):
+    scal = scal_ref[:]                                  # (RT, LANES) f32
+    A = _ACT[act]
+    SC = _SCALE[scale]
+
+    def mm(a, w):
+        if cdt is not None:
+            a = a.astype(cdt)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    y = jnp.zeros(y_ref.shape, jnp.float32)
+    col_iota = lax.broadcasted_iota(jnp.int32, y_ref.shape, 1)
+
+    def put(y, c, val):                                  # val: (RT, 1)
+        return jnp.where(col_iota == c, val, y)
+
+    for k in range(K):
+        vblk = v_ref[k]                                  # (N_VEC, Hp)
+        j1 = vblk[ROW_J1:ROW_J1 + 1]
+        bj1 = vblk[ROW_BJ1:ROW_BJ1 + 1]
+        bj2 = vblk[ROW_BJ2:ROW_BJ2 + 1]
+        w1x = vblk[ROW_W1X:ROW_W1X + 1]
+        w1t = vblk[ROW_W1T:ROW_W1T + 1]
+        w1d = vblk[ROW_W1D:ROW_W1D + 1]
+        b1 = vblk[ROW_B1:ROW_B1 + 1]
+        b2 = vblk[ROW_B2:ROW_B2 + 1]
+        bo1 = vblk[ROW_BO1:ROW_BO1 + 1]
+        o2 = vblk[ROW_O2:ROW_O2 + 1]
+        J2 = w_ref[k, MAT_J2]
+        O1 = w_ref[k, MAT_O1]
+        W1h = w_ref[k, MAT_W1H]
+        W2 = w_ref[k, MAT_W2]
+
+        hj_prev = x_prev = t_prev = None
+        for s in range(N):
+            x_s = scal[:, s:s + 1]                       # (RT, 1)
+            t_s = scal[:, N + s:N + s + 1]
+            a1 = A(x_s * j1 + bj1)                       # (RT, Hp)
+            hj = A(mm(a1, J2) + bj2)
+            u = A(mm(hj, O1) + bo1)
+            ya = jnp.sum(u * o2, axis=1, keepdims=True)  # (RT, 1)
+            y = put(y, k * N + s, ya)
+
+            if s > 0:
+                dt = t_s - t_prev
+                base = SC(x_prev) * w1x + t_prev * w1t + dt * w1d + b1
+                g1 = A(mm(SC(hj_prev), W1h) + base)
+                dh = mm(g1, W2) + b2
+                hm = hj_prev + dt * dh
+                ub = A(mm(hm, O1) + bo1)
+                yb = jnp.sum(ub * o2, axis=1, keepdims=True)
+                y = put(y, K * N + k * (N - 1) + s - 1, yb)
+
+            hj_prev, x_prev, t_prev = hj, x_s, t_s
+
+    y_ref[:] = y
+
+
+# --------------------------------------------------------------------------
+# backward kernel: rematerialize per slot, accumulate parameter cotangents
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
+                dw_ref, dv_ref, dw_s, dv_s,
+                *, N: int, K: int, act: str, scale: str, cdt):
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        dw_s[:] = jnp.zeros_like(dw_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+
+    scal = scal_ref[:]
+    gy = gy_ref[:]
+    A = _ACT[act]
+    AG = _ACT_GRAD[act]
+    SC = _SCALE[scale]
+    SG = _SCALE_GRAD[scale]
+
+    def mm(a, w):
+        if cdt is not None:
+            a = a.astype(cdt)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    def outer(a, g):                                     # a^T @ g: (Hp, Hp)
+        if cdt is not None:
+            a = a.astype(cdt)
+            g = g.astype(cdt)
+        return lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def colsum(x):                                       # (RT, Hp) -> (1, Hp)
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    for k in range(K):
+        vblk = v_ref[k]
+        j1 = vblk[ROW_J1:ROW_J1 + 1]
+        bj1 = vblk[ROW_BJ1:ROW_BJ1 + 1]
+        bj2 = vblk[ROW_BJ2:ROW_BJ2 + 1]
+        w1x = vblk[ROW_W1X:ROW_W1X + 1]
+        w1t = vblk[ROW_W1T:ROW_W1T + 1]
+        w1d = vblk[ROW_W1D:ROW_W1D + 1]
+        b1 = vblk[ROW_B1:ROW_B1 + 1]
+        b2 = vblk[ROW_B2:ROW_B2 + 1]
+        bo1 = vblk[ROW_BO1:ROW_BO1 + 1]
+        o2 = vblk[ROW_O2:ROW_O2 + 1]
+        J2 = w_ref[k, MAT_J2]
+        O1 = w_ref[k, MAT_O1]
+        W1h = w_ref[k, MAT_W1H]
+        W2 = w_ref[k, MAT_W2]
+        J2T = wt_ref[k, MAT_J2]
+        O1T = wt_ref[k, MAT_O1]
+        W1hT = wt_ref[k, MAT_W1H]
+        W2T = wt_ref[k, MAT_W2]
+
+        vrow = k * N_VEC
+
+        def dv_add(row, val):                            # val: (1, Hp)
+            dv_s[vrow + row:vrow + row + 1, :] += val
+
+        for s in range(N):
+            x_s = scal[:, s:s + 1]
+            t_s = scal[:, N + s:N + s + 1]
+            # ---- rematerialize slot s (and its outgoing gap s -> s+1) ----
+            a1_pre = x_s * j1 + bj1
+            a1 = A(a1_pre)
+            hj_pre = mm(a1, J2) + bj2
+            hj = A(hj_pre)
+            u_pre = mm(hj, O1) + bo1
+            u = A(u_pre)
+
+            # after-jump readout cotangent at slot s
+            g_ya = gy[:, k * N + s:k * N + s + 1]        # (RT, 1)
+            du_pre = (g_ya * o2) * AG(u_pre)
+            dv_add(ROW_O2, colsum(u * g_ya))
+            dw_s[k, MAT_O1] += outer(hj, du_pre)
+            dv_add(ROW_BO1, colsum(du_pre))
+            dhj = mm(du_pre, O1T)                        # readout -> hj
+
+            if s < N - 1:
+                # the gap starting at slot s contributes to hj_s too
+                t_next = scal[:, N + s + 1:N + s + 2]
+                dt = t_next - t_s
+                x_sc = SC(x_s)
+                hj_sc = SC(hj)
+                base = x_sc * w1x + t_s * w1t + dt * w1d + b1
+                g1_pre = mm(hj_sc, W1h) + base
+                g1 = A(g1_pre)
+                dh = mm(g1, W2) + b2
+                hm = hj + dt * dh
+                ub_pre = mm(hm, O1) + bo1
+                ub = A(ub_pre)
+
+                g_yb = gy[:, K * N + k * (N - 1) + s:
+                          K * N + k * (N - 1) + s + 1]
+                dub_pre = (g_yb * o2) * AG(ub_pre)
+                dv_add(ROW_O2, colsum(ub * g_yb))
+                dw_s[k, MAT_O1] += outer(hm, dub_pre)
+                dv_add(ROW_BO1, colsum(dub_pre))
+                dhm = mm(dub_pre, O1T)
+
+                ddh = dt * dhm
+                dw_s[k, MAT_W2] += outer(g1, ddh)
+                dv_add(ROW_B2, colsum(ddh))
+                dg1_pre = mm(ddh, W2T) * AG(g1_pre)
+                dw_s[k, MAT_W1H] += outer(hj_sc, dg1_pre)
+                dv_add(ROW_W1X, colsum(x_sc * dg1_pre))
+                dv_add(ROW_W1T, colsum(t_s * dg1_pre))
+                dv_add(ROW_W1D, colsum(dt * dg1_pre))
+                dv_add(ROW_B1, colsum(dg1_pre))
+                # hm = hj + dt*dh depends on hj directly AND through g1
+                dhj += dhm + mm(dg1_pre, W1hT) * SG(hj)
+
+            # ---- jump backward for slot s ----
+            dhj_pre = dhj * AG(hj_pre)
+            dw_s[k, MAT_J2] += outer(a1, dhj_pre)
+            dv_add(ROW_BJ2, colsum(dhj_pre))
+            da1_pre = mm(dhj_pre, J2T) * AG(a1_pre)
+            dv_add(ROW_J1, colsum(x_s * da1_pre))
+            dv_add(ROW_BJ1, colsum(da1_pre))
+
+    @pl.when(r == n_r - 1)
+    def _():
+        dw_ref[:] = dw_s[:]
+        dv_ref[:] = dv_s[:]
+
+
+# --------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# --------------------------------------------------------------------------
+
+def _pad_rows(x, R):
+    return jnp.pad(x, ((0, R - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
+               cdt_name: str, interpret: bool):
+    """Build the custom-VJP core for one static configuration.
+
+    core(scal (B, LANES), W (K,4,Hp,Hp), V (K,N_VEC,Hp)) -> y (B, LANES)
+    with y's first K*(2N-1) lanes holding the predictions (bo2 excluded —
+    added differentiably outside).  W may be bf16 (pre-cast); V stays f32.
+    """
+    cdt = {"f32": None, "bf16": jnp.bfloat16}[cdt_name]
+    wdt = jnp.float32 if cdt is None else cdt
+
+    row = lambda d: pl.BlockSpec((ROW_TILE, d), lambda r: (r, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                  memory_space=pltpu.VMEM)
+
+    def fwd_call(scal, W, V):
+        R = scal.shape[0]
+        n_r = R // ROW_TILE
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, N=N, K=K, act=act, scale=scale,
+                              cdt=cdt),
+            grid=(n_r,),
+            in_specs=[row(LANES), full((K, 4, Hp, Hp)),
+                      full((K, N_VEC, Hp))],
+            out_specs=row(LANES),
+            out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            interpret=interpret,
+        )(scal, W, V)
+
+    def bwd_call(scal, W, WT, V, gy):
+        R = scal.shape[0]
+        n_r = R // ROW_TILE
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, N=N, K=K, act=act, scale=scale,
+                              cdt=cdt),
+            grid=(n_r,),
+            in_specs=[row(LANES), full((K, 4, Hp, Hp)),
+                      full((K, 4, Hp, Hp)), full((K, N_VEC, Hp)),
+                      row(LANES)],
+            out_specs=[full((K, 4, Hp, Hp)), full((K * N_VEC, Hp))],
+            out_shape=[jax.ShapeDtypeStruct((K, 4, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((K * N_VEC, Hp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((K, 4, Hp, Hp), jnp.float32),
+                            pltpu.VMEM((K * N_VEC, Hp), jnp.float32)],
+            interpret=interpret,
+        )(scal, W, WT, V, gy)
+
+    @jax.custom_vjp
+    def core(scal, W, V):
+        return fwd_call(scal, W.astype(wdt), V)
+
+    def core_fwd(scal, W, V):
+        Wc = W.astype(wdt)
+        return fwd_call(scal, Wc, V), (scal, Wc, V)
+
+    def core_bwd(res, gy):
+        scal, Wc, V = res
+        WT = jnp.swapaxes(Wc, -1, -2)
+        dW, dVflat = bwd_call(scal, Wc, WT, V, gy)
+        dV = dVflat.reshape(K, N_VEC, Hp)
+        return jnp.zeros_like(scal), dW.astype(jnp.float32), dV
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def fused_step_apply(params, times, values, *, num_moments: int,
+                     hidden_dim: int, activation: str, input_scaling: str,
+                     compute_dtype=None, interpret: bool = False):
+    """Fused forward of ``NeuralJumpODE.apply`` (eligible configs only).
+
+    params: the model pytree with stacked (K,) leading axes (separate
+    networks).  times (B, N), values (B, N, 1).  Returns
+    ``(preds, preds_before)`` shaped (B, N, 1, K), semantics identical to
+    the XLA path (verified in tests/test_fused_step.py).
+    """
+    K, H = num_moments, hidden_dim
+    Hp = _round_up(H, LANES)
+    B, N = times.shape
+    if 2 * N > LANES or _slot_cols(N, K) > LANES:
+        raise ValueError(f"fused step kernel: N={N}, K={K} exceeds the "
+                         f"{LANES}-lane packing")
+    f32 = jnp.float32
+    times = times.astype(f32)
+    x = values.astype(f32)[..., 0]                       # (B, N)
+
+    jl = params["jump"]["layers"]
+    ol = params["ode"]["layers"]
+    ul = params["out"]["layers"]
+
+    def pad_mat(w):                                      # (K, a, b) -> (K, Hp, Hp)
+        return jnp.pad(w.astype(f32),
+                       ((0, 0), (0, Hp - w.shape[1]), (0, Hp - w.shape[2])))
+
+    def pad_vec(v):                                      # (K, d) -> (K, Hp)
+        return jnp.pad(v.astype(f32), ((0, 0), (0, Hp - v.shape[1])))
+
+    W = jnp.stack([pad_mat(jl[1]["w"]),                  # MAT_J2
+                   pad_mat(ul[0]["w"]),                  # MAT_O1
+                   pad_mat(ol[0]["w"][:, :H, :]),        # MAT_W1H
+                   pad_mat(ol[1]["w"])], axis=1)         # MAT_W2
+    vrows = [
+        pad_vec(jl[0]["w"][:, 0, :]),                    # ROW_J1
+        pad_vec(jl[0]["b"]),                             # ROW_BJ1
+        pad_vec(jl[1]["b"]),                             # ROW_BJ2
+        pad_vec(ol[0]["w"][:, H, :]),                    # ROW_W1X
+        pad_vec(ol[0]["w"][:, H + 1, :]),                # ROW_W1T
+        pad_vec(ol[0]["w"][:, H + 2, :]),                # ROW_W1D
+        pad_vec(ol[0]["b"]),                             # ROW_B1
+        pad_vec(ol[1]["b"]),                             # ROW_B2
+        pad_vec(ul[0]["b"]),                             # ROW_BO1
+        pad_vec(ul[1]["w"][:, :, 0]),                    # ROW_O2
+    ]
+    V = jnp.stack(vrows + [jnp.zeros_like(vrows[0])] * (N_VEC - len(vrows)),
+                  axis=1)                                # (K, N_VEC, Hp)
+
+    scal = jnp.zeros((B, LANES), f32)
+    scal = scal.at[:, :N].set(x).at[:, N:2 * N].set(times)
+    Bp = _round_up(max(B, ROW_TILE), ROW_TILE)
+    scal = _pad_rows(scal, Bp)
+
+    cdt_name = "f32"
+    if compute_dtype is not None and compute_dtype == jnp.bfloat16:
+        cdt_name = "bf16"
+    core = _make_core(N, K, Hp, activation, input_scaling, cdt_name,
+                      interpret)
+    y = core(scal, W, V)[:B]                             # (B, LANES)
+
+    bo2 = ul[1]["b"][:, 0].astype(f32)                   # (K,)
+    ya = (jnp.stack([y[:, k * N:(k + 1) * N] for k in range(K)], axis=-1)
+          + bo2)                                         # (B, N, K)
+    preds = ya[:, :, None, :]                            # (B, N, 1, K)
+    if N == 1:
+        return preds, jnp.zeros_like(preds)
+    yb = (jnp.stack([y[:, K * N + k * (N - 1):K * N + (k + 1) * (N - 1)]
+                     for k in range(K)], axis=-1) + bo2)  # (B, N-1, K)
+    preds_before = jnp.concatenate(
+        [jnp.zeros((B, 1, K), f32), yb], axis=1)[:, :, None, :]
+    return preds, preds_before

@@ -1,0 +1,206 @@
+"""Fused whole-step kernel (ops/fused_step.py) vs the XLA path.
+
+Runs in Pallas interpreter mode on CPU.  Pins forward values, parameter
+gradients through a realistic masked loss, dtype/config gating, and the
+eligibility fallbacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from njode_tpu import NeuralJumpODE, nj_ode_loss
+from njode_tpu.models.loss import nj_ode_loss_dense
+from njode_tpu.ops import fused_step_available
+
+MODEL_KW = dict(input_dim=1, hidden_dim=24, output_dim=1, num_moments=2,
+                n_hidden_layers=1)
+
+
+def _models(**kw):
+    cfg = dict(MODEL_KW)
+    cfg.update(kw)
+    xla = NeuralJumpODE(**cfg)
+    fused = NeuralJumpODE(use_pallas="step-interpret", **cfg)
+    assert fused._use_fused_step(5)
+    params = xla.init(jax.random.PRNGKey(0))
+    return xla, fused, params
+
+
+def _batch(B, N, seed=1):
+    kt, kv = jax.random.split(jax.random.PRNGKey(seed))
+    times = jnp.sort(jax.random.uniform(kt, (B, N)), axis=1)
+    times = times.at[:, 0].set(0.0)
+    values = jax.random.normal(kv, (B, N, 1)) + 1.0
+    return times, values
+
+
+@pytest.mark.parametrize("N", [1, 2, 5, 11])
+def test_forward_parity(N):
+    xla, fused, params = _models()
+    times, values = _batch(7, N)
+    p_ref, pb_ref = xla.apply(params, times, values)
+    p_f, pb_f = fused.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pb_f), np.asarray(pb_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("act,scaling", [("relu", "identity"),
+                                         ("tanh", "tanh"),
+                                         ("elu", "sigmoid")])
+def test_forward_parity_act_scaling(act, scaling):
+    xla, fused, params = _models(activation=act, input_scaling=scaling)
+    times, values = _batch(5, 4, seed=3)
+    p_ref, pb_ref = xla.apply(params, times, values)
+    p_f, pb_f = fused.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               rtol=5e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(pb_f), np.asarray(pb_ref),
+                               rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("act,scaling", [("relu", "identity"),
+                                         ("tanh", "sigmoid")])
+def test_gradient_parity(act, scaling):
+    """Parameter gradients through the training loss match the XLA path."""
+    xla, fused, params = _models(activation=act, input_scaling=scaling)
+    times, values = _batch(6, 5, seed=5)
+    mask = jnp.ones(times.shape, bool).at[-1, -2:].set(False)
+
+    def loss(model):
+        def f(p):
+            preds, before = model.apply(p, times, values, mask)
+            return nj_ode_loss_dense(values, preds, before, mask,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0])
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(xla))(params)
+    l_f, g_f = jax.value_and_grad(loss(fused))(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(ka)}")
+
+
+def test_gradient_parity_under_jit_train_step():
+    """One jitted Adam step produces the same parameters as the XLA path."""
+    import optax
+
+    xla, fused, params = _models()
+    times, values = _batch(8, 3, seed=7)
+    tx = optax.adam(1e-3)
+
+    def stepped(model):
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def f(pp):
+                pr, pb = model.apply(pp, times, values)
+                return nj_ode_loss_dense(values, pr, pb,
+                                         jnp.ones(times.shape, bool),
+                                         moment_weights=[1.0, 10.0])
+            loss, g = jax.value_and_grad(f)(p)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+        p, _, loss = step(params, opt)
+        return p, float(loss)
+
+    p_ref, l_ref = stepped(xla)
+    p_f, l_f = stepped(fused)
+    np.testing.assert_allclose(l_f, l_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_mode_close_to_xla_bf16():
+    """compute_dtype=bfloat16: fused forward tracks the XLA bf16 path at
+    bf16 tolerance."""
+    cfg = dict(MODEL_KW, compute_dtype="bfloat16")
+    xla = NeuralJumpODE(**cfg)
+    fused = NeuralJumpODE(use_pallas="step-interpret", **cfg)
+    assert fused._use_fused_step(4)
+    params = xla.init(jax.random.PRNGKey(0))
+    times, values = _batch(6, 4, seed=9)
+    p_ref, _ = xla.apply(params, times, values)
+    p_f, _ = fused.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               rtol=0.03, atol=0.03)
+    # and its gradients are finite and match XLA-bf16 loosely
+    def f(model):
+        def g(p):
+            pr, pb = model.apply(p, times, values)
+            return nj_ode_loss_dense(values, pr, pb,
+                                     jnp.ones(times.shape, bool),
+                                     moment_weights=[1.0, 10.0])
+        return jax.grad(g)(params)
+    g_ref, g_f = f(xla), f(fused)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.25, atol=0.25)
+
+
+def test_eligibility_gating():
+    """Ineligible configs silently use the XLA path (no kernel, no error)."""
+    assert not fused_step_available(True, 1, 1, 1, "relu", 0.0, "identity",
+                                    None)          # shared network
+    assert not fused_step_available(False, 2, 1, 1, "relu", 0.0, "identity",
+                                    None)          # d_x > 1
+    assert not fused_step_available(False, 1, 1, 2, "relu", 0.0, "identity",
+                                    None)          # deeper MLPs
+    assert not fused_step_available(False, 1, 1, 1, "relu", 0.5, "identity",
+                                    None)          # dropout
+    assert not fused_step_available(False, 1, 1, 1, "relu", 0.0, "identity",
+                                    0.01)          # substep loop
+    assert not fused_step_available(False, 1, 1, 1, "relu", 0.0, "identity",
+                                    None, "rk4")   # higher-order solver
+
+    m = NeuralJumpODE(use_pallas="step-interpret", input_dim=1, hidden_dim=8,
+                      output_dim=1, num_moments=2, shared_network=True)
+    assert not m._use_fused_step(5)
+    params = m.init(jax.random.PRNGKey(0))
+    times, values = _batch(3, 4)
+    p, pb = m.apply(params, times, values)   # falls back, still correct
+    ref = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
+                        num_moments=2, shared_network=True)
+    p_ref, pb_ref = ref.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+
+
+def test_dropout_training_falls_back():
+    """rng-carrying training calls bypass the kernel (dropout needs rng)."""
+    cfg = dict(MODEL_KW, dropout_rate=0.3)
+    fused = NeuralJumpODE(use_pallas="step-interpret", **cfg)
+    assert not fused._use_fused_step(4)  # ineligible via dropout
+    params = fused.init(jax.random.PRNGKey(0))
+    times, values = _batch(3, 4)
+    p, _ = fused.apply(params, times, values, rng=jax.random.PRNGKey(1),
+                       training=True)
+    assert np.isfinite(np.asarray(p)).all()
+
+
+def test_padded_rows_and_mask_slots():
+    """End-padded (masked) slots produce the same loss as the XLA path —
+    padding repeats the last time so gap dt=0 inside the kernel."""
+    from njode_tpu.models.jump_ode import pad_ragged
+
+    xla, fused, params = _models()
+    bt = [jnp.asarray([0.0, 0.3, 0.7, 1.0]), jnp.asarray([0.0, 0.5])]
+    bv = [jnp.ones((4, 1)), jnp.full((2, 1), 2.0)]
+    times, values, mask = pad_ragged(bt, bv)
+    p_ref, pb_ref = xla.apply(params, times, values, mask)
+    p_f, pb_f = fused.apply(params, times, values, mask)
+    l_ref = nj_ode_loss(times, values, p_ref, pb_ref, mask=mask)
+    l_f = nj_ode_loss(times, values, p_f, pb_f, mask=mask)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)

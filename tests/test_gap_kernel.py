@@ -24,7 +24,8 @@ def test_eligibility_gate():
     assert gap_scan_available(1, "relu", 0.0, "identity")
     assert gap_scan_available(1, "tanh", 0.0, "tanh")
     assert not gap_scan_available(2, "relu", 0.0, "identity")  # deep ODEFunc
-    assert not gap_scan_available(1, "selu", 0.0, "identity")  # no analytic grad
+    assert gap_scan_available(1, "selu", 0.0, "identity")  # analytic grads cover
+    assert not gap_scan_available(1, "gelu", 0.0, "identity")  # unknown act
     assert not gap_scan_available(1, "relu", 0.1, "identity")  # dropout
 
 

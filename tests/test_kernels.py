@@ -23,7 +23,8 @@ def _models(activation="relu", dt_ode_step=None):
 def test_eligibility_gate():
     assert fused_cell_available(1, "relu", 0.0)
     assert not fused_cell_available(2, "relu", 0.0)    # deeper ODEFunc
-    assert not fused_cell_available(1, "selu", 0.0)    # no analytic grad
+    assert fused_cell_available(1, "selu", 0.0)    # analytic grads cover
+    assert not fused_cell_available(1, "gelu", 0.0)    # unknown activation
     assert not fused_cell_available(1, "relu", 0.1)    # dropout
 
 
