@@ -78,6 +78,11 @@ def main():
                          "measures faster for whole training programs, and "
                          "'auto' only engages kernels on inference paths "
                          "(BENCH_NOTES.md)")
+    ap.add_argument("--pallas-step", action="store_true",
+                    help="use the fused whole-step kernel "
+                         "(ops/fused_step.py) for the training forward/"
+                         "backward — measured 1.5x on the scaled config's "
+                         "marginal step (BENCH_NOTES.md r3)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="deprecated (pure-XLA is the default)")
     args = ap.parse_args()
@@ -138,7 +143,8 @@ def main():
                           activation="relu", variance_method="direct",
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
-                          use_pallas=True if args.pallas else False,
+                          use_pallas=("step" if args.pallas_step
+                                      else True if args.pallas else False),
                           compute_dtype=args.compute_dtype,
                           ode_solver=args.ode_solver)
     tx = make_adam(1e-3, 5e-4)

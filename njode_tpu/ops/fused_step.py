@@ -76,10 +76,13 @@ N_VEC = 16          # padded vector-param rows per moment
 # matrix-param planes per moment
 (MAT_J2, MAT_O1, MAT_W1H, MAT_W2) = range(4)
 
-# row-tile: 256 trajectories keeps the ~10 live (RT, Hp) f32 activation
-# buffers plus 2x weights plus the gradient accumulators inside VMEM at
-# Hp=256 (~9 MB); smaller tiles only add grid steps.
-ROW_TILE = 256
+# row-tiles (v5e sweep, BENCH_NOTES.md r3): 256/256 measured fastest —
+# smaller tiles overlap the next tile's input DMA under the current tile's
+# matmul chain; 512-row forward tiles measured ~10-40% slower and 1024-row
+# ones unreliable/worse.  Overridable via NJODE_FUSED_STEP_RT / _RT_BWD.
+import os as _os
+ROW_TILE = int(_os.environ.get("NJODE_FUSED_STEP_RT", 256))
+ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
 
 
 def fused_step_available(shared_network: bool, input_dim: int,
@@ -105,7 +108,13 @@ def _slot_cols(N: int, K: int):
 
 def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
                 *, N: int, K: int, act: str, scale: str, cdt):
+    """Slot-BATCHED forward: every weight matrix is applied exactly once
+    per (tile, moment) by concatenating all slots' rows — J2 on (N·RT),
+    W1h/W2 on ((N-1)·RT), O1 on ((2N-1)·RT).  Cuts the matmul count ~2x
+    at 2-3x the shape (measured: per-matmul issue overhead, not FLOPs,
+    limits the unbatched variant)."""
     scal = scal_ref[:]                                  # (RT, LANES) f32
+    RT = scal.shape[0]
     A = _ACT[act]
     SC = _SCALE[scale]
 
@@ -119,6 +128,10 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
 
     def put(y, c, val):                                  # val: (RT, 1)
         return jnp.where(col_iota == c, val, y)
+
+    xs = [scal[:, s:s + 1] for s in range(N)]
+    ts = [scal[:, N + s:N + s + 1] for s in range(N)]
+    S = N - 1                                            # gap count
 
     for k in range(K):
         vblk = v_ref[k]                                  # (N_VEC, Hp)
@@ -137,27 +150,27 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
         W1h = w_ref[k, MAT_W1H]
         W2 = w_ref[k, MAT_W2]
 
-        hj_prev = x_prev = t_prev = None
+        A1 = A(jnp.concatenate(xs, axis=0) * j1 + bj1)   # (N·RT, Hp)
+        HJ = A(mm(A1, J2) + bj2)
+        if S > 0:
+            HJg = HJ[:S * RT]                            # gap-start states
+            XT = jnp.concatenate(xs[:S], axis=0)
+            T0 = jnp.concatenate(ts[:S], axis=0)
+            DT = jnp.concatenate(
+                [ts[s + 1] - ts[s] for s in range(S)], axis=0)
+            BASE = SC(XT) * w1x + T0 * w1t + DT * w1d + b1
+            G1 = A(mm(SC(HJg), W1h) + BASE)
+            DH = mm(G1, W2) + b2
+            HM = HJg + DT * DH
+            U = A(mm(jnp.concatenate([HJ, HM], axis=0), O1) + bo1)
+        else:
+            U = A(mm(HJ, O1) + bo1)
+        Y = jnp.sum(U * o2, axis=1, keepdims=True)       # ((2N-1)·RT, 1)
         for s in range(N):
-            x_s = scal[:, s:s + 1]                       # (RT, 1)
-            t_s = scal[:, N + s:N + s + 1]
-            a1 = A(x_s * j1 + bj1)                       # (RT, Hp)
-            hj = A(mm(a1, J2) + bj2)
-            u = A(mm(hj, O1) + bo1)
-            ya = jnp.sum(u * o2, axis=1, keepdims=True)  # (RT, 1)
-            y = put(y, k * N + s, ya)
-
-            if s > 0:
-                dt = t_s - t_prev
-                base = SC(x_prev) * w1x + t_prev * w1t + dt * w1d + b1
-                g1 = A(mm(SC(hj_prev), W1h) + base)
-                dh = mm(g1, W2) + b2
-                hm = hj_prev + dt * dh
-                ub = A(mm(hm, O1) + bo1)
-                yb = jnp.sum(ub * o2, axis=1, keepdims=True)
-                y = put(y, K * N + k * (N - 1) + s - 1, yb)
-
-            hj_prev, x_prev, t_prev = hj, x_s, t_s
+            y = put(y, k * N + s, Y[s * RT:(s + 1) * RT])
+        for s in range(S):
+            y = put(y, K * N + k * S + s,
+                    Y[(N + s) * RT:(N + s + 1) * RT])
 
     y_ref[:] = y
 
@@ -178,6 +191,7 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         dv_s[:] = jnp.zeros_like(dv_s)
 
     scal = scal_ref[:]
+    RT = scal.shape[0]
     gy = gy_ref[:]
     A = _ACT[act]
     AG = _ACT_GRAD[act]
@@ -196,8 +210,12 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         return lax.dot_general(a, g, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
-    def colsum(x):                                       # (RT, Hp) -> (1, Hp)
+    def colsum(x):                                       # (rows, Hp) -> (1, Hp)
         return jnp.sum(x, axis=0, keepdims=True)
+
+    xs = [scal[:, s:s + 1] for s in range(N)]
+    ts = [scal[:, N + s:N + s + 1] for s in range(N)]
+    S = N - 1
 
     for k in range(K):
         vblk = v_ref[k]
@@ -225,66 +243,67 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         def dv_add(row, val):                            # val: (1, Hp)
             dv_s[vrow + row:vrow + row + 1, :] += val
 
-        for s in range(N):
-            x_s = scal[:, s:s + 1]
-            t_s = scal[:, N + s:N + s + 1]
-            # ---- rematerialize slot s (and its outgoing gap s -> s+1) ----
-            a1_pre = x_s * j1 + bj1
-            a1 = A(a1_pre)
-            hj_pre = mm(a1, J2) + bj2
-            hj = A(hj_pre)
-            u_pre = mm(hj, O1) + bo1
-            u = A(u_pre)
+        # ---- rematerialize (same slot-batched layout as the forward) ----
+        X = jnp.concatenate(xs, axis=0)                  # (N·RT, 1)
+        A1_pre = X * j1 + bj1
+        A1 = A(A1_pre)
+        HJ_pre = mm(A1, J2) + bj2
+        HJ = A(HJ_pre)
+        if S > 0:
+            HJg = HJ[:S * RT]
+            XT = X[:S * RT]
+            T0 = jnp.concatenate(ts[:S], axis=0)
+            DT = jnp.concatenate(
+                [ts[s + 1] - ts[s] for s in range(S)], axis=0)
+            X_sc = SC(XT)
+            HJ_sc = SC(HJg)
+            BASE = X_sc * w1x + T0 * w1t + DT * w1d + b1
+            G1_pre = mm(HJ_sc, W1h) + BASE
+            G1 = A(G1_pre)
+            DH = mm(G1, W2) + b2
+            HM = HJg + DT * DH
+            IN_O1 = jnp.concatenate([HJ, HM], axis=0)    # ((2N-1)·RT, Hp)
+        else:
+            IN_O1 = HJ
+        U_pre = mm(IN_O1, O1) + bo1
+        U = A(U_pre)
 
-            # after-jump readout cotangent at slot s
-            g_ya = gy[:, k * N + s:k * N + s + 1]        # (RT, 1)
-            du_pre = (g_ya * o2) * AG(u_pre)
-            dv_add(ROW_O2, colsum(u * g_ya))
-            dw_s[k, MAT_O1] += outer(hj, du_pre)
-            dv_add(ROW_BO1, colsum(du_pre))
-            dhj = mm(du_pre, O1T)                        # readout -> hj
+        # ---- readout backward (all after + before outputs at once) ----
+        GY = jnp.concatenate(
+            [gy[:, k * N + s:k * N + s + 1] for s in range(N)]
+            + [gy[:, K * N + k * S + s:K * N + k * S + s + 1]
+               for s in range(S)], axis=0)               # ((2N-1)·RT, 1)
+        dU_pre = (GY * o2) * AG(U_pre)
+        dv_add(ROW_O2, colsum(U * GY))
+        dw_s[k, MAT_O1] += outer(IN_O1, dU_pre)
+        dv_add(ROW_BO1, colsum(dU_pre))
+        dIN = mm(dU_pre, O1T)
+        dHJ = dIN[:N * RT]
 
-            if s < N - 1:
-                # the gap starting at slot s contributes to hj_s too
-                t_next = scal[:, N + s + 1:N + s + 2]
-                dt = t_next - t_s
-                x_sc = SC(x_s)
-                hj_sc = SC(hj)
-                base = x_sc * w1x + t_s * w1t + dt * w1d + b1
-                g1_pre = mm(hj_sc, W1h) + base
-                g1 = A(g1_pre)
-                dh = mm(g1, W2) + b2
-                hm = hj + dt * dh
-                ub_pre = mm(hm, O1) + bo1
-                ub = A(ub_pre)
+        if S > 0:
+            dHM = dIN[N * RT:]
+            dDH = DT * dHM
+            dw_s[k, MAT_W2] += outer(G1, dDH)
+            dv_add(ROW_B2, colsum(dDH))
+            dG1_pre = mm(dDH, W2T) * AG(G1_pre)
+            dw_s[k, MAT_W1H] += outer(HJ_sc, dG1_pre)
+            dv_add(ROW_W1X, colsum(X_sc * dG1_pre))
+            dv_add(ROW_W1T, colsum(T0 * dG1_pre))
+            dv_add(ROW_W1D, colsum(DT * dG1_pre))
+            dv_add(ROW_B1, colsum(dG1_pre))
+            # HM = HJg + DT·DH: direct + through-G1 contributions land on
+            # the first S row-blocks of dHJ
+            dHJg = dHM + mm(dG1_pre, W1hT) * SG(HJg)
+            pad = jnp.zeros((RT, dHJg.shape[1]), dHJg.dtype)
+            dHJ = dHJ + jnp.concatenate([dHJg, pad], axis=0)
 
-                g_yb = gy[:, K * N + k * (N - 1) + s:
-                          K * N + k * (N - 1) + s + 1]
-                dub_pre = (g_yb * o2) * AG(ub_pre)
-                dv_add(ROW_O2, colsum(ub * g_yb))
-                dw_s[k, MAT_O1] += outer(hm, dub_pre)
-                dv_add(ROW_BO1, colsum(dub_pre))
-                dhm = mm(dub_pre, O1T)
-
-                ddh = dt * dhm
-                dw_s[k, MAT_W2] += outer(g1, ddh)
-                dv_add(ROW_B2, colsum(ddh))
-                dg1_pre = mm(ddh, W2T) * AG(g1_pre)
-                dw_s[k, MAT_W1H] += outer(hj_sc, dg1_pre)
-                dv_add(ROW_W1X, colsum(x_sc * dg1_pre))
-                dv_add(ROW_W1T, colsum(t_s * dg1_pre))
-                dv_add(ROW_W1D, colsum(dt * dg1_pre))
-                dv_add(ROW_B1, colsum(dg1_pre))
-                # hm = hj + dt*dh depends on hj directly AND through g1
-                dhj += dhm + mm(dg1_pre, W1hT) * SG(hj)
-
-            # ---- jump backward for slot s ----
-            dhj_pre = dhj * AG(hj_pre)
-            dw_s[k, MAT_J2] += outer(a1, dhj_pre)
-            dv_add(ROW_BJ2, colsum(dhj_pre))
-            da1_pre = mm(dhj_pre, J2T) * AG(a1_pre)
-            dv_add(ROW_J1, colsum(x_s * da1_pre))
-            dv_add(ROW_BJ1, colsum(da1_pre))
+        # ---- jump backward (all slots at once) ----
+        dHJ_pre = dHJ * AG(HJ_pre)
+        dw_s[k, MAT_J2] += outer(A1, dHJ_pre)
+        dv_add(ROW_BJ2, colsum(dHJ_pre))
+        dA1_pre = mm(dHJ_pre, J2T) * AG(A1_pre)
+        dv_add(ROW_J1, colsum(X * dA1_pre))
+        dv_add(ROW_BJ1, colsum(dA1_pre))
 
     @pl.when(r == n_r - 1)
     def _():
@@ -312,8 +331,10 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
     cdt = {"f32": None, "bf16": jnp.bfloat16}[cdt_name]
     wdt = jnp.float32 if cdt is None else cdt
 
-    row = lambda d: pl.BlockSpec((ROW_TILE, d), lambda r: (r, 0),
-                                 memory_space=pltpu.VMEM)
+    def row(d, rt):
+        return pl.BlockSpec((rt, d), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+
     full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
                                   memory_space=pltpu.VMEM)
 
@@ -324,23 +345,23 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
             functools.partial(_fwd_kernel, N=N, K=K, act=act, scale=scale,
                               cdt=cdt),
             grid=(n_r,),
-            in_specs=[row(LANES), full((K, 4, Hp, Hp)),
+            in_specs=[row(LANES, ROW_TILE), full((K, 4, Hp, Hp)),
                       full((K, N_VEC, Hp))],
-            out_specs=row(LANES),
+            out_specs=row(LANES, ROW_TILE),
             out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
             interpret=interpret,
         )(scal, W, V)
 
     def bwd_call(scal, W, WT, V, gy):
         R = scal.shape[0]
-        n_r = R // ROW_TILE
+        n_r = R // ROW_TILE_BWD
         return pl.pallas_call(
             functools.partial(_bwd_kernel, N=N, K=K, act=act, scale=scale,
                               cdt=cdt),
             grid=(n_r,),
-            in_specs=[row(LANES), full((K, 4, Hp, Hp)),
+            in_specs=[row(LANES, ROW_TILE_BWD), full((K, 4, Hp, Hp)),
                       full((K, 4, Hp, Hp)), full((K, N_VEC, Hp)),
-                      row(LANES)],
+                      row(LANES, ROW_TILE_BWD)],
             out_specs=[full((K, 4, Hp, Hp)), full((K * N_VEC, Hp))],
             out_shape=[jax.ShapeDtypeStruct((K, 4, Hp, Hp), jnp.float32),
                        jax.ShapeDtypeStruct((K * N_VEC, Hp), jnp.float32)],
@@ -420,7 +441,8 @@ def fused_step_apply(params, times, values, *, num_moments: int,
 
     scal = jnp.zeros((B, LANES), f32)
     scal = scal.at[:, :N].set(x).at[:, N:2 * N].set(times)
-    Bp = _round_up(max(B, ROW_TILE), ROW_TILE)
+    tile_lcm = max(ROW_TILE, ROW_TILE_BWD)
+    Bp = _round_up(max(B, tile_lcm), tile_lcm)
     scal = _pad_rows(scal, Bp)
 
     cdt_name = "f32"
