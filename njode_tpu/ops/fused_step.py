@@ -129,9 +129,17 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
     def put(y, c, val):                                  # val: (RT, 1)
         return jnp.where(col_iota == c, val, y)
 
-    xs = [scal[:, s:s + 1] for s in range(N)]
-    ts = [scal[:, N + s:N + s + 1] for s in range(N)]
     S = N - 1                                            # gap count
+    Hp = v_ref.shape[-1]
+
+    def wide(col):
+        """(RT, 1) scalar column -> (RT, Hp); Mosaic cannot row-concat
+        1-lane vectors (offset mismatch), so scalar stacks go lane-wide
+        BEFORE concatenation (one VPU broadcast each)."""
+        return jnp.broadcast_to(col, (RT, Hp))
+
+    xs = [wide(scal[:, s:s + 1]) for s in range(N)]
+    ts = [wide(scal[:, N + s:N + s + 1]) for s in range(N)]
 
     for k in range(K):
         vblk = v_ref[k]                                  # (N_VEC, Hp)
@@ -213,9 +221,14 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
     def colsum(x):                                       # (rows, Hp) -> (1, Hp)
         return jnp.sum(x, axis=0, keepdims=True)
 
-    xs = [scal[:, s:s + 1] for s in range(N)]
-    ts = [scal[:, N + s:N + s + 1] for s in range(N)]
     S = N - 1
+    Hp = v_ref.shape[-1]
+
+    def wide(col):                       # see _fwd_kernel.wide
+        return jnp.broadcast_to(col, (RT, Hp))
+
+    xs = [wide(scal[:, s:s + 1]) for s in range(N)]
+    ts = [wide(scal[:, N + s:N + s + 1]) for s in range(N)]
 
     for k in range(K):
         vblk = v_ref[k]
@@ -270,9 +283,9 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
 
         # ---- readout backward (all after + before outputs at once) ----
         GY = jnp.concatenate(
-            [gy[:, k * N + s:k * N + s + 1] for s in range(N)]
-            + [gy[:, K * N + k * S + s:K * N + k * S + s + 1]
-               for s in range(S)], axis=0)               # ((2N-1)·RT, 1)
+            [wide(gy[:, k * N + s:k * N + s + 1]) for s in range(N)]
+            + [wide(gy[:, K * N + k * S + s:K * N + k * S + s + 1])
+               for s in range(S)], axis=0)               # ((2N-1)·RT, Hp)
         dU_pre = (GY * o2) * AG(U_pre)
         dv_add(ROW_O2, colsum(U * GY))
         dw_s[k, MAT_O1] += outer(IN_O1, dU_pre)
