@@ -157,6 +157,16 @@ def add_common_args(parser: argparse.ArgumentParser,
                         choices=['msgpack', 'orbax'],
                         help='Checkpoint format: single-file msgpack or an '
                              'Orbax directory (multi-host sharded params)')
+    parser.add_argument('--kernels', type=str, default='off',
+                        choices=['off', 'auto', 'force', 'step'],
+                        help='Pallas kernel policy: off = pure XLA (default;'
+                             ' fastest for most training programs), auto = '
+                             'enable the gap kernel in its measured-win '
+                             'regime (streaming inference), force = all '
+                             'per-gap kernels on, step = the fused whole-'
+                             'step training kernel (1.5-1.8x the scaled-'
+                             'config step; needs separate networks, 1 '
+                             'hidden layer, no dropout, no --dt-ode-step)')
     parser.add_argument('--debug-checks', action='store_true',
                         help='Enable in-graph runtime asserts (substep-'
                              'budget exhaustion inside jitted steps); costs '
@@ -220,6 +230,8 @@ def build_config(args, experiment_name: str, process_type: str,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
         "ensemble": args.ensemble,
+        "use_pallas": {"off": False, "auto": "auto", "force": True,
+                       "step": "step"}[args.kernels],
         "debug_checks": args.debug_checks,
         "seed": args.seed,
         "data_seed": args.data_seed,

@@ -210,6 +210,10 @@ class NeuralJumpODE:
             return False
         if self.compute_dtype not in (None, jnp.bfloat16):
             return False
+        if self.use_pallas == "step":
+            import jax as _jax
+            if _jax.default_backend() != "tpu":
+                return False  # Mosaic only; CPU runs fall back to XLA
         from ..ops.fused_step import LANES, _slot_cols
         return (2 * n_slots <= LANES
                 and _slot_cols(n_slots, self.num_moments) <= LANES)

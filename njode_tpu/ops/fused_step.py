@@ -76,12 +76,13 @@ N_VEC = 16          # padded vector-param rows per moment
 # matrix-param planes per moment
 (MAT_J2, MAT_O1, MAT_W1H, MAT_W2) = range(4)
 
-# row-tiles (v5e sweep, BENCH_NOTES.md r3): 256/256 measured fastest —
-# smaller tiles overlap the next tile's input DMA under the current tile's
-# matmul chain; 512-row forward tiles measured ~10-40% slower and 1024-row
-# ones unreliable/worse.  Overridable via NJODE_FUSED_STEP_RT / _RT_BWD.
+# row-tiles (v5e sweeps, BENCH_NOTES.md r3): with the slot-batched
+# kernels 512-row forward / 256-row backward tiles measured fastest
+# (min 0.228 ms vs 0.266 for 256/256 at m=128); the backward's larger
+# live set (activations + both weight copies + grad accumulators) wants
+# the smaller tile.  Overridable via NJODE_FUSED_STEP_RT / _RT_BWD.
 import os as _os
-ROW_TILE = int(_os.environ.get("NJODE_FUSED_STEP_RT", 256))
+ROW_TILE = int(_os.environ.get("NJODE_FUSED_STEP_RT", 512))
 ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
 
 

@@ -755,6 +755,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         t_max=config.get("data", {}).get("T", 1.0),
         compute_dtype=config.get("compute_dtype"),
         ode_solver=config.get("ode_solver", "euler"),
+        use_pallas=config.get("use_pallas", False),
         debug_checks=config.get("debug_checks", False),
     )
 
