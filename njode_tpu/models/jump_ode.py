@@ -214,7 +214,9 @@ class NeuralJumpODE:
             import jax as _jax
             if _jax.default_backend() != "tpu":
                 return False  # Mosaic only; CPU runs fall back to XLA
-        from ..ops.fused_step import LANES, _slot_cols
+        from ..ops.fused_step import LANES, MAX_SHARED_K, _slot_cols
+        if self.shared_network and self.num_moments > MAX_SHARED_K:
+            return False
         return (2 * n_slots <= LANES
                 and _slot_cols(n_slots, self.num_moments) <= LANES)
 
@@ -569,7 +571,8 @@ class NeuralJumpODE:
                 activation=self.activation.lower(),
                 input_scaling=self.input_scaling.lower(),
                 compute_dtype=self.compute_dtype,
-                interpret=(self.use_pallas == "step-interpret"))
+                interpret=(self.use_pallas == "step-interpret"),
+                shared_network=self.shared_network)
 
         # ---- jump + after-jump readout at ALL slots: fold (B, N) ----
         x_flat = values.reshape(B * N, d_x)

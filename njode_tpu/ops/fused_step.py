@@ -40,11 +40,14 @@ cast to bf16 at the MXU boundary (weights are pre-cast once on the host
 side of the call), accumulating in f32 — the same convention as the
 model's ``_mp`` path.
 
-Applicability (falls back to pure XLA otherwise): separate networks,
-input_dim == output_dim == 1, n_hidden_layers == 1, no dropout,
-``dt_ode_step is None`` (single Euler step per gap — the scaled-sweep and
-default-CLI configs), analytic-gradient activation/scaling, and
-K*(2N-1) <= 128 output lanes.
+Applicability (falls back to pure XLA otherwise): input_dim ==
+output_dim == 1, n_hidden_layers == 1, no dropout, ``dt_ode_step is
+None`` (single Euler step per gap — the scaled-sweep and default-CLI
+configs), analytic-gradient activation/scaling, and K*(2N-1) <= 128
+output lanes.  Both network modes are covered: separate (K independent
+networks, one output column each) and shared (ONE network whose readout
+emits all K moment columns — the K ``o2`` weight vectors live in the
+spare V rows and the network loop runs once).
 
 Floating-point note: the feature-matmul split and the fused reduction
 order differ from XLA's, so forward values match to ~1e-5 and gradients to
@@ -86,12 +89,16 @@ ROW_TILE = int(_os.environ.get("NJODE_FUSED_STEP_RT", 512))
 ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
 
 
+MAX_SHARED_K = N_VEC - ROW_O2    # shared mode: K o2 rows fit after ROW_O2
+
+
 def fused_step_available(shared_network: bool, input_dim: int,
                          output_dim: int, n_hidden_layers: int,
                          activation: str, dropout_rate: float,
                          input_scaling: str, dt_ode_step,
                          ode_solver: str = "euler") -> bool:
-    return (HAS_PALLAS and not shared_network and input_dim == 1
+    del shared_network  # both modes supported since r3
+    return (HAS_PALLAS and input_dim == 1
             and output_dim == 1 and n_hidden_layers == 1
             and dropout_rate == 0.0 and dt_ode_step is None
             and ode_solver == "euler" and activation in SUPPORTED_ACTS
@@ -108,12 +115,16 @@ def _slot_cols(N: int, K: int):
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
-                *, N: int, K: int, act: str, scale: str, cdt):
+                *, N: int, K: int, act: str, scale: str, cdt,
+                shared: bool = False):
     """Slot-BATCHED forward: every weight matrix is applied exactly once
     per (tile, moment) by concatenating all slots' rows — J2 on (N·RT),
     W1h/W2 on ((N-1)·RT), O1 on ((2N-1)·RT).  Cuts the matmul count ~2x
     at 2-3x the shape (measured: per-matmul issue overhead, not FLOPs,
-    limits the unbatched variant)."""
+    limits the unbatched variant).
+
+    ``shared``: ONE network pass; the readout emits all K moment columns
+    from the K o2 rows at ROW_O2..ROW_O2+K-1 of v_ref[0]."""
     scal = scal_ref[:]                                  # (RT, LANES) f32
     RT = scal.shape[0]
     A = _ACT[act]
@@ -142,8 +153,8 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
     xs = [wide(scal[:, s:s + 1]) for s in range(N)]
     ts = [wide(scal[:, N + s:N + s + 1]) for s in range(N)]
 
-    for k in range(K):
-        vblk = v_ref[k]                                  # (N_VEC, Hp)
+    for kn in range(1 if shared else K):
+        vblk = v_ref[kn]                                 # (N_VEC, Hp)
         j1 = vblk[ROW_J1:ROW_J1 + 1]
         bj1 = vblk[ROW_BJ1:ROW_BJ1 + 1]
         bj2 = vblk[ROW_BJ2:ROW_BJ2 + 1]
@@ -153,11 +164,10 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
         b1 = vblk[ROW_B1:ROW_B1 + 1]
         b2 = vblk[ROW_B2:ROW_B2 + 1]
         bo1 = vblk[ROW_BO1:ROW_BO1 + 1]
-        o2 = vblk[ROW_O2:ROW_O2 + 1]
-        J2 = w_ref[k, MAT_J2]
-        O1 = w_ref[k, MAT_O1]
-        W1h = w_ref[k, MAT_W1H]
-        W2 = w_ref[k, MAT_W2]
+        J2 = w_ref[kn, MAT_J2]
+        O1 = w_ref[kn, MAT_O1]
+        W1h = w_ref[kn, MAT_W1H]
+        W2 = w_ref[kn, MAT_W2]
 
         A1 = A(jnp.concatenate(xs, axis=0) * j1 + bj1)   # (N·RT, Hp)
         HJ = A(mm(A1, J2) + bj2)
@@ -174,12 +184,15 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
             U = A(mm(jnp.concatenate([HJ, HM], axis=0), O1) + bo1)
         else:
             U = A(mm(HJ, O1) + bo1)
-        Y = jnp.sum(U * o2, axis=1, keepdims=True)       # ((2N-1)·RT, 1)
-        for s in range(N):
-            y = put(y, k * N + s, Y[s * RT:(s + 1) * RT])
-        for s in range(S):
-            y = put(y, K * N + k * S + s,
-                    Y[(N + s) * RT:(N + s + 1) * RT])
+        for kk in (range(K) if shared else (kn,)):
+            row = ROW_O2 + (kk if shared else 0)
+            o2 = vblk[row:row + 1]
+            Y = jnp.sum(U * o2, axis=1, keepdims=True)   # ((2N-1)·RT, 1)
+            for s in range(N):
+                y = put(y, kk * N + s, Y[s * RT:(s + 1) * RT])
+            for s in range(S):
+                y = put(y, K * N + kk * S + s,
+                        Y[(N + s) * RT:(N + s + 1) * RT])
 
     y_ref[:] = y
 
@@ -190,7 +203,8 @@ def _fwd_kernel(scal_ref, w_ref, v_ref, y_ref,
 
 def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
                 dw_ref, dv_ref, dw_s, dv_s,
-                *, N: int, K: int, act: str, scale: str, cdt):
+                *, N: int, K: int, act: str, scale: str, cdt,
+                shared: bool = False):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
 
@@ -231,8 +245,8 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
     xs = [wide(scal[:, s:s + 1]) for s in range(N)]
     ts = [wide(scal[:, N + s:N + s + 1]) for s in range(N)]
 
-    for k in range(K):
-        vblk = v_ref[k]
+    for kn in range(1 if shared else K):
+        vblk = v_ref[kn]
         j1 = vblk[ROW_J1:ROW_J1 + 1]
         bj1 = vblk[ROW_BJ1:ROW_BJ1 + 1]
         bj2 = vblk[ROW_BJ2:ROW_BJ2 + 1]
@@ -242,17 +256,16 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         b1 = vblk[ROW_B1:ROW_B1 + 1]
         b2 = vblk[ROW_B2:ROW_B2 + 1]
         bo1 = vblk[ROW_BO1:ROW_BO1 + 1]
-        o2 = vblk[ROW_O2:ROW_O2 + 1]
-        J2 = w_ref[k, MAT_J2]
-        O1 = w_ref[k, MAT_O1]
-        W1h = w_ref[k, MAT_W1H]
-        W2 = w_ref[k, MAT_W2]
-        J2T = wt_ref[k, MAT_J2]
-        O1T = wt_ref[k, MAT_O1]
-        W1hT = wt_ref[k, MAT_W1H]
-        W2T = wt_ref[k, MAT_W2]
+        J2 = w_ref[kn, MAT_J2]
+        O1 = w_ref[kn, MAT_O1]
+        W1h = w_ref[kn, MAT_W1H]
+        W2 = w_ref[kn, MAT_W2]
+        J2T = wt_ref[kn, MAT_J2]
+        O1T = wt_ref[kn, MAT_O1]
+        W1hT = wt_ref[kn, MAT_W1H]
+        W2T = wt_ref[kn, MAT_W2]
 
-        vrow = k * N_VEC
+        vrow = kn * N_VEC
 
         def dv_add(row, val):                            # val: (1, Hp)
             dv_s[vrow + row:vrow + row + 1, :] += val
@@ -283,13 +296,22 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         U = A(U_pre)
 
         # ---- readout backward (all after + before outputs at once) ----
-        GY = jnp.concatenate(
-            [wide(gy[:, k * N + s:k * N + s + 1]) for s in range(N)]
-            + [wide(gy[:, K * N + k * S + s:K * N + k * S + s + 1])
-               for s in range(S)], axis=0)               # ((2N-1)·RT, Hp)
-        dU_pre = (GY * o2) * AG(U_pre)
-        dv_add(ROW_O2, colsum(U * GY))
-        dw_s[k, MAT_O1] += outer(IN_O1, dU_pre)
+        # separate mode: ONE moment column per network; shared: the single
+        # network's U feeds all K moment columns, so the o2-cotangents are
+        # per-moment and the upstream dU sums GY_kk * o2_kk over moments.
+        GYo2 = None
+        for kk in (range(K) if shared else (kn,)):
+            row = ROW_O2 + (kk if shared else 0)
+            o2 = vblk[row:row + 1]
+            GYk = jnp.concatenate(
+                [wide(gy[:, kk * N + s:kk * N + s + 1]) for s in range(N)]
+                + [wide(gy[:, K * N + kk * S + s:K * N + kk * S + s + 1])
+                   for s in range(S)], axis=0)           # ((2N-1)·RT, Hp)
+            dv_add(row, colsum(U * GYk))
+            contrib = GYk * o2
+            GYo2 = contrib if GYo2 is None else GYo2 + contrib
+        dU_pre = GYo2 * AG(U_pre)
+        dw_s[kn, MAT_O1] += outer(IN_O1, dU_pre)
         dv_add(ROW_BO1, colsum(dU_pre))
         dIN = mm(dU_pre, O1T)
         dHJ = dIN[:N * RT]
@@ -297,10 +319,10 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
         if S > 0:
             dHM = dIN[N * RT:]
             dDH = DT * dHM
-            dw_s[k, MAT_W2] += outer(G1, dDH)
+            dw_s[kn, MAT_W2] += outer(G1, dDH)
             dv_add(ROW_B2, colsum(dDH))
             dG1_pre = mm(dDH, W2T) * AG(G1_pre)
-            dw_s[k, MAT_W1H] += outer(HJ_sc, dG1_pre)
+            dw_s[kn, MAT_W1H] += outer(HJ_sc, dG1_pre)
             dv_add(ROW_W1X, colsum(X_sc * dG1_pre))
             dv_add(ROW_W1T, colsum(T0 * dG1_pre))
             dv_add(ROW_W1D, colsum(DT * dG1_pre))
@@ -313,7 +335,7 @@ def _bwd_kernel(scal_ref, w_ref, wt_ref, v_ref, gy_ref,
 
         # ---- jump backward (all slots at once) ----
         dHJ_pre = dHJ * AG(HJ_pre)
-        dw_s[k, MAT_J2] += outer(A1, dHJ_pre)
+        dw_s[kn, MAT_J2] += outer(A1, dHJ_pre)
         dv_add(ROW_BJ2, colsum(dHJ_pre))
         dA1_pre = mm(dHJ_pre, J2T) * AG(A1_pre)
         dv_add(ROW_J1, colsum(X * dA1_pre))
@@ -335,15 +357,17 @@ def _pad_rows(x, R):
 
 @functools.lru_cache(maxsize=None)
 def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
-               cdt_name: str, interpret: bool):
+               cdt_name: str, interpret: bool, shared: bool = False):
     """Build the custom-VJP core for one static configuration.
 
-    core(scal (B, LANES), W (K,4,Hp,Hp), V (K,N_VEC,Hp)) -> y (B, LANES)
+    core(scal (B, LANES), W (Kn,4,Hp,Hp), V (Kn,N_VEC,Hp)) -> y (B, LANES)
     with y's first K*(2N-1) lanes holding the predictions (bo2 excluded —
-    added differentiably outside).  W may be bf16 (pre-cast); V stays f32.
+    added differentiably outside).  Kn = 1 (shared) or K (separate).
+    W may be bf16 (pre-cast); V stays f32.
     """
     cdt = {"f32": None, "bf16": jnp.bfloat16}[cdt_name]
     wdt = jnp.float32 if cdt is None else cdt
+    Kn = 1 if shared else K
 
     def row(d, rt):
         return pl.BlockSpec((rt, d), lambda r: (r, 0),
@@ -357,10 +381,10 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
         n_r = R // ROW_TILE
         return pl.pallas_call(
             functools.partial(_fwd_kernel, N=N, K=K, act=act, scale=scale,
-                              cdt=cdt),
+                              cdt=cdt, shared=shared),
             grid=(n_r,),
-            in_specs=[row(LANES, ROW_TILE), full((K, 4, Hp, Hp)),
-                      full((K, N_VEC, Hp))],
+            in_specs=[row(LANES, ROW_TILE), full((Kn, 4, Hp, Hp)),
+                      full((Kn, N_VEC, Hp))],
             out_specs=row(LANES, ROW_TILE),
             out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.float32),
             interpret=interpret,
@@ -371,16 +395,16 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
         n_r = R // ROW_TILE_BWD
         return pl.pallas_call(
             functools.partial(_bwd_kernel, N=N, K=K, act=act, scale=scale,
-                              cdt=cdt),
+                              cdt=cdt, shared=shared),
             grid=(n_r,),
-            in_specs=[row(LANES, ROW_TILE_BWD), full((K, 4, Hp, Hp)),
-                      full((K, 4, Hp, Hp)), full((K, N_VEC, Hp)),
+            in_specs=[row(LANES, ROW_TILE_BWD), full((Kn, 4, Hp, Hp)),
+                      full((Kn, 4, Hp, Hp)), full((Kn, N_VEC, Hp)),
                       row(LANES, ROW_TILE_BWD)],
-            out_specs=[full((K, 4, Hp, Hp)), full((K * N_VEC, Hp))],
-            out_shape=[jax.ShapeDtypeStruct((K, 4, Hp, Hp), jnp.float32),
-                       jax.ShapeDtypeStruct((K * N_VEC, Hp), jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((K, 4, Hp, Hp), jnp.float32),
-                            pltpu.VMEM((K * N_VEC, Hp), jnp.float32)],
+            out_specs=[full((Kn, 4, Hp, Hp)), full((Kn * N_VEC, Hp))],
+            out_shape=[jax.ShapeDtypeStruct((Kn, 4, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((Kn * N_VEC, Hp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((Kn, 4, Hp, Hp), jnp.float32),
+                            pltpu.VMEM((Kn * N_VEC, Hp), jnp.float32)],
             interpret=interpret,
         )(scal, W, WT, V, gy)
 
@@ -396,7 +420,7 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
         scal, Wc, V = res
         WT = jnp.swapaxes(Wc, -1, -2)
         dW, dVflat = bwd_call(scal, Wc, WT, V, gy)
-        dV = dVflat.reshape(K, N_VEC, Hp)
+        dV = dVflat.reshape(Kn, N_VEC, Hp)
         return jnp.zeros_like(scal), dW.astype(jnp.float32), dV
 
     core.defvjp(core_fwd, core_bwd)
@@ -405,13 +429,15 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
 
 def fused_step_apply(params, times, values, *, num_moments: int,
                      hidden_dim: int, activation: str, input_scaling: str,
-                     compute_dtype=None, interpret: bool = False):
+                     compute_dtype=None, interpret: bool = False,
+                     shared_network: bool = False):
     """Fused forward of ``NeuralJumpODE.apply`` (eligible configs only).
 
-    params: the model pytree with stacked (K,) leading axes (separate
-    networks).  times (B, N), values (B, N, 1).  Returns
-    ``(preds, preds_before)`` shaped (B, N, 1, K), semantics identical to
-    the XLA path (verified in tests/test_fused_step.py).
+    params: the model pytree — stacked (K,) leading axes for separate
+    networks, unstacked single networks for ``shared_network`` (whose
+    OutputNN final layer is (H, K)).  times (B, N), values (B, N, 1).
+    Returns ``(preds, preds_before)`` shaped (B, N, 1, K), semantics
+    identical to the XLA path (verified in tests/test_fused_step.py).
     """
     K, H = num_moments, hidden_dim
     Hp = _round_up(H, LANES)
@@ -419,6 +445,9 @@ def fused_step_apply(params, times, values, *, num_moments: int,
     if 2 * N > LANES or _slot_cols(N, K) > LANES:
         raise ValueError(f"fused step kernel: N={N}, K={K} exceeds the "
                          f"{LANES}-lane packing")
+    if shared_network and K > MAX_SHARED_K:
+        raise ValueError(f"fused step kernel: shared mode supports at most "
+                         f"{MAX_SHARED_K} moments (got {K})")
     f32 = jnp.float32
     times = times.astype(f32)
     x = values.astype(f32)[..., 0]                       # (B, N)
@@ -426,12 +455,16 @@ def fused_step_apply(params, times, values, *, num_moments: int,
     jl = params["jump"]["layers"]
     ol = params["ode"]["layers"]
     ul = params["out"]["layers"]
+    if shared_network:
+        # lift the single networks to the (Kn=1,)-stacked layout
+        lift = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+        jl, ol, ul = lift(jl), lift(ol), lift(ul)
 
-    def pad_mat(w):                                      # (K, a, b) -> (K, Hp, Hp)
+    def pad_mat(w):                                      # (Kn, a, b) -> (Kn, Hp, Hp)
         return jnp.pad(w.astype(f32),
                        ((0, 0), (0, Hp - w.shape[1]), (0, Hp - w.shape[2])))
 
-    def pad_vec(v):                                      # (K, d) -> (K, Hp)
+    def pad_vec(v):                                      # (Kn, d) -> (Kn, Hp)
         return jnp.pad(v.astype(f32), ((0, 0), (0, Hp - v.shape[1])))
 
     W = jnp.stack([pad_mat(jl[1]["w"]),                  # MAT_J2
@@ -448,10 +481,14 @@ def fused_step_apply(params, times, values, *, num_moments: int,
         pad_vec(ol[0]["b"]),                             # ROW_B1
         pad_vec(ol[1]["b"]),                             # ROW_B2
         pad_vec(ul[0]["b"]),                             # ROW_BO1
-        pad_vec(ul[1]["w"][:, :, 0]),                    # ROW_O2
     ]
+    if shared_network:
+        # K o2 columns -> rows ROW_O2..ROW_O2+K-1 of the single V block
+        vrows += [pad_vec(ul[1]["w"][:, :, kk]) for kk in range(K)]
+    else:
+        vrows.append(pad_vec(ul[1]["w"][:, :, 0]))       # ROW_O2
     V = jnp.stack(vrows + [jnp.zeros_like(vrows[0])] * (N_VEC - len(vrows)),
-                  axis=1)                                # (K, N_VEC, Hp)
+                  axis=1)                                # (Kn, N_VEC, Hp)
 
     scal = jnp.zeros((B, LANES), f32)
     scal = scal.at[:, :N].set(x).at[:, N:2 * N].set(times)
@@ -463,10 +500,11 @@ def fused_step_apply(params, times, values, *, num_moments: int,
     if compute_dtype is not None and compute_dtype == jnp.bfloat16:
         cdt_name = "bf16"
     core = _make_core(N, K, Hp, activation, input_scaling, cdt_name,
-                      interpret)
+                      interpret, shared_network)
     y = core(scal, W, V)[:B]                             # (B, LANES)
 
-    bo2 = ul[1]["b"][:, 0].astype(f32)                   # (K,)
+    bo2 = (ul[1]["b"][0] if shared_network
+           else ul[1]["b"][:, 0]).astype(f32)            # (K,)
     ya = (jnp.stack([y[:, k * N:(k + 1) * N] for k in range(K)], axis=-1)
           + bo2)                                         # (B, N, K)
     preds = ya[:, :, None, :]                            # (B, N, 1, K)

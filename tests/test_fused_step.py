@@ -89,6 +89,48 @@ def test_gradient_parity(act, scaling):
             err_msg=f"gradient mismatch at {jax.tree_util.keystr(ka)}")
 
 
+@pytest.mark.parametrize("N", [1, 2, 5, 11])
+def test_shared_forward_parity(N):
+    """Shared-network mode: one network pass, K readout columns."""
+    xla, fused, params = _models(shared_network=True)
+    times, values = _batch(7, N)
+    p_ref, pb_ref = xla.apply(params, times, values)
+    p_f, pb_f = fused.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pb_f), np.asarray(pb_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("act,scaling", [("relu", "identity"),
+                                         ("tanh", "sigmoid")])
+def test_shared_gradient_parity(act, scaling):
+    """Shared-mode parameter gradients (the o2 cotangents are per-moment
+    while everything upstream sums over moments) match the XLA path."""
+    xla, fused, params = _models(shared_network=True, activation=act,
+                                 input_scaling=scaling)
+    times, values = _batch(6, 5, seed=5)
+    mask = jnp.ones(times.shape, bool).at[-1, -2:].set(False)
+
+    def loss(model):
+        def f(p):
+            preds, before = model.apply(p, times, values, mask)
+            return nj_ode_loss_dense(values, preds, before, mask,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0])
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(xla))(params)
+    l_f, g_f = jax.value_and_grad(loss(fused))(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(ka)}")
+
+
 def test_gradient_parity_under_jit_train_step():
     """One jitted Adam step produces the same parameters as the XLA path."""
     import optax
@@ -153,8 +195,8 @@ def test_bf16_mode_close_to_xla_bf16():
 
 def test_eligibility_gating():
     """Ineligible configs silently use the XLA path (no kernel, no error)."""
-    assert not fused_step_available(True, 1, 1, 1, "relu", 0.0, "identity",
-                                    None)          # shared network
+    assert fused_step_available(True, 1, 1, 1, "relu", 0.0, "identity",
+                                None)              # shared network: eligible (r3)
     assert not fused_step_available(False, 2, 1, 1, "relu", 0.0, "identity",
                                     None)          # d_x > 1
     assert not fused_step_available(False, 1, 1, 2, "relu", 0.0, "identity",
@@ -166,14 +208,21 @@ def test_eligibility_gating():
     assert not fused_step_available(False, 1, 1, 1, "relu", 0.0, "identity",
                                     None, "rk4")   # higher-order solver
 
+    # shared mode caps K at the spare V rows
+    from njode_tpu.ops.fused_step import MAX_SHARED_K
+    m_many = NeuralJumpODE(use_pallas="step-interpret", input_dim=1,
+                           hidden_dim=8, output_dim=1,
+                           num_moments=MAX_SHARED_K + 1, shared_network=True)
+    assert not m_many._use_fused_step(5)
+
     m = NeuralJumpODE(use_pallas="step-interpret", input_dim=1, hidden_dim=8,
-                      output_dim=1, num_moments=2, shared_network=True)
+                      output_dim=1, num_moments=2, n_hidden_layers=2)
     assert not m._use_fused_step(5)
     params = m.init(jax.random.PRNGKey(0))
     times, values = _batch(3, 4)
     p, pb = m.apply(params, times, values)   # falls back, still correct
     ref = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
-                        num_moments=2, shared_network=True)
+                        num_moments=2, n_hidden_layers=2)
     p_ref, pb_ref = ref.apply(params, times, values)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
 
