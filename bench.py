@@ -84,7 +84,9 @@ def main():
                          "backward — measured 1.5x on the scaled config's "
                          "marginal step (BENCH_NOTES.md r3)")
     ap.add_argument("--no-pallas", action="store_true",
-                    help="deprecated (pure-XLA is the default)")
+                    help="disable kernel auto-selection (--scaled defaults "
+                         "to the fused-step kernel on eligible configs; "
+                         "other recipes default to pure XLA)")
     args = ap.parse_args()
     def default_to(name, value):
         """Apply a preset value only when the flag wasn't given explicitly."""
@@ -102,6 +104,12 @@ def main():
         default_to("obs_fraction", 0.02)
         default_to("batch_size", 4096)
         default_to("n_epochs", 50)
+        # the shipped scaled recipe (run_scaled_sweep.sh) trains with the
+        # fused-step kernel (7.50M vs 6.12M traj/s XLA-f32, BENCH_NOTES.md
+        # r3); shared-network configs measured FASTER on XLA and keep it.
+        # Ineligible configs fall back to XLA inside the model (no error).
+        if not (args.shared_network or args.no_pallas or args.pallas):
+            args.pallas_step = True
 
     import jax
     import jax.numpy as jnp

@@ -91,6 +91,20 @@ ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
 
 MAX_SHARED_K = N_VEC - ROW_O2    # shared mode: K o2 rows fit after ROW_O2
 
+# Packed-STATE training (optimizing the padded (W, V, bo2) tensors
+# directly) additionally requires f(0) == 0 for the activation and the
+# input scaling: sigmoid(0) = 0.5 makes padded activations nonzero, so the
+# backward's outer products write real cotangents into padding rows —
+# harmless when the pytree path slices them away, corrupting when Adam
+# applies them to a padded train state.
+ZERO_PRESERVING_ACTS = tuple(a for a in SUPPORTED_ACTS if a != "sigmoid")
+ZERO_PRESERVING_SCALINGS = ("identity", "tanh")
+
+
+def packed_state_safe(activation: str, input_scaling: str) -> bool:
+    return (activation in ZERO_PRESERVING_ACTS
+            and input_scaling in ZERO_PRESERVING_SCALINGS)
+
 
 def fused_step_available(shared_network: bool, input_dim: int,
                          output_dim: int, n_hidden_layers: int,
@@ -427,30 +441,21 @@ def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
     return core
 
 
-def fused_step_apply(params, times, values, *, num_moments: int,
-                     hidden_dim: int, activation: str, input_scaling: str,
-                     compute_dtype=None, interpret: bool = False,
-                     shared_network: bool = False):
-    """Fused forward of ``NeuralJumpODE.apply`` (eligible configs only).
+def pack_params(params, *, num_moments: int, hidden_dim: int,
+                shared_network: bool = False):
+    """Model pytree -> the kernel's padded ``(W, V, bo2)`` tensors.
 
-    params: the model pytree — stacked (K,) leading axes for separate
-    networks, unstacked single networks for ``shared_network`` (whose
-    OutputNN final layer is (H, K)).  times (B, N), values (B, N, 1).
-    Returns ``(preds, preds_before)`` shaped (B, N, 1, K), semantics
-    identical to the XLA path (verified in tests/test_fused_step.py).
+    W: (Kn, 4, Hp, Hp) matrix planes, V: (Kn, N_VEC, Hp) vector rows,
+    bo2: (K,) readout bias (applied differentiably outside the kernel).
+    Kn = 1 (shared) or K.  Zero-padded beyond the real (H, H) block; the
+    kernel's forward keeps padded activations exactly zero and its
+    backward produces exactly-zero cotangents there, so (W, V, bo2) can
+    serve directly as a TRAIN STATE (grads/updates never contaminate the
+    padding — pinned by tests/test_fused_step.py::test_packed_state_training).
     """
     K, H = num_moments, hidden_dim
     Hp = _round_up(H, LANES)
-    B, N = times.shape
-    if 2 * N > LANES or _slot_cols(N, K) > LANES:
-        raise ValueError(f"fused step kernel: N={N}, K={K} exceeds the "
-                         f"{LANES}-lane packing")
-    if shared_network and K > MAX_SHARED_K:
-        raise ValueError(f"fused step kernel: shared mode supports at most "
-                         f"{MAX_SHARED_K} moments (got {K})")
     f32 = jnp.float32
-    times = times.astype(f32)
-    x = values.astype(f32)[..., 0]                       # (B, N)
 
     jl = params["jump"]["layers"]
     ol = params["ode"]["layers"]
@@ -489,6 +494,64 @@ def fused_step_apply(params, times, values, *, num_moments: int,
         vrows.append(pad_vec(ul[1]["w"][:, :, 0]))       # ROW_O2
     V = jnp.stack(vrows + [jnp.zeros_like(vrows[0])] * (N_VEC - len(vrows)),
                   axis=1)                                # (Kn, N_VEC, Hp)
+    bo2 = (ul[1]["b"][0] if shared_network
+           else ul[1]["b"][:, 0]).astype(f32)            # (K,)
+    return W, V, bo2
+
+
+def unpack_params(W, V, bo2, *, num_moments: int, hidden_dim: int,
+                  input_dim: int = 1, shared_network: bool = False):
+    """Inverse of :func:`pack_params` — padded tensors back to the model
+    pytree (for eval / checkpointing of packed-state training)."""
+    K, H = num_moments, hidden_dim
+    d_x = input_dim
+
+    def sq(t):                                           # drop the Kn axis
+        return t[0] if shared_network else t
+
+    del d_x  # input_dim == 1 is an eligibility precondition
+    jl = [{"w": sq(V[:, ROW_J1, None, :H]),              # (Kn, 1, H)
+           "b": sq(V[:, ROW_BJ1, :H])},
+          {"w": sq(W[:, MAT_J2, :H, :H]), "b": sq(V[:, ROW_BJ2, :H])}]
+    # ODEFunc layer 0 stacks [W1h; w1x; w1t; w1d] rows
+    w1 = jnp.concatenate([W[:, MAT_W1H, :H, :H],
+                          V[:, ROW_W1X, None, :H],
+                          V[:, ROW_W1T, None, :H],
+                          V[:, ROW_W1D, None, :H]], axis=1)
+    ol = [{"w": sq(w1), "b": sq(V[:, ROW_B1, :H])},
+          {"w": sq(W[:, MAT_W2, :H, :H]), "b": sq(V[:, ROW_B2, :H])}]
+    if shared_network:
+        o2 = jnp.stack([V[0, ROW_O2 + kk, :H] for kk in range(K)], axis=-1)
+        ul = [{"w": W[0, MAT_O1, :H, :H], "b": V[0, ROW_BO1, :H]},
+              {"w": o2, "b": bo2}]
+    else:
+        ul = [{"w": W[:, MAT_O1, :H, :H], "b": V[:, ROW_BO1, :H]},
+              {"w": V[:, ROW_O2, :H, None], "b": bo2[:, None]}]
+    return {"jump": {"layers": jl}, "ode": {"layers": ol},
+            "out": {"layers": ul}}
+
+
+def fused_step_apply_packed(W, V, bo2, times, values, *, num_moments: int,
+                            activation: str, input_scaling: str,
+                            compute_dtype=None, interpret: bool = False,
+                            shared_network: bool = False):
+    """Fused forward on pre-packed ``(W, V, bo2)`` tensors (see
+    :func:`pack_params`).  Differentiable in (W, V, bo2); per-step cost
+    excludes all pytree<->padded packing glue, so this is the form the
+    packed-state trainer uses inside its step.
+    """
+    K = num_moments
+    Hp = W.shape[-1]
+    B, N = times.shape
+    if 2 * N > LANES or _slot_cols(N, K) > LANES:
+        raise ValueError(f"fused step kernel: N={N}, K={K} exceeds the "
+                         f"{LANES}-lane packing")
+    if shared_network and K > MAX_SHARED_K:
+        raise ValueError(f"fused step kernel: shared mode supports at most "
+                         f"{MAX_SHARED_K} moments (got {K})")
+    f32 = jnp.float32
+    times = times.astype(f32)
+    x = values.astype(f32)[..., 0]                       # (B, N)
 
     scal = jnp.zeros((B, LANES), f32)
     scal = scal.at[:, :N].set(x).at[:, N:2 * N].set(times)
@@ -503,8 +566,6 @@ def fused_step_apply(params, times, values, *, num_moments: int,
                       interpret, shared_network)
     y = core(scal, W, V)[:B]                             # (B, LANES)
 
-    bo2 = (ul[1]["b"][0] if shared_network
-           else ul[1]["b"][:, 0]).astype(f32)            # (K,)
     ya = (jnp.stack([y[:, k * N:(k + 1) * N] for k in range(K)], axis=-1)
           + bo2)                                         # (B, N, K)
     preds = ya[:, :, None, :]                            # (B, N, 1, K)
@@ -515,3 +576,25 @@ def fused_step_apply(params, times, values, *, num_moments: int,
     preds_before = jnp.concatenate(
         [jnp.zeros((B, 1, K), f32), yb], axis=1)[:, :, None, :]
     return preds, preds_before
+
+
+def fused_step_apply(params, times, values, *, num_moments: int,
+                     hidden_dim: int, activation: str, input_scaling: str,
+                     compute_dtype=None, interpret: bool = False,
+                     shared_network: bool = False):
+    """Fused forward of ``NeuralJumpODE.apply`` (eligible configs only).
+
+    params: the model pytree — stacked (K,) leading axes for separate
+    networks, unstacked single networks for ``shared_network`` (whose
+    OutputNN final layer is (H, K)).  times (B, N), values (B, N, 1).
+    Returns ``(preds, preds_before)`` shaped (B, N, 1, K), semantics
+    identical to the XLA path (verified in tests/test_fused_step.py).
+    """
+    W, V, bo2 = pack_params(params, num_moments=num_moments,
+                            hidden_dim=hidden_dim,
+                            shared_network=shared_network)
+    return fused_step_apply_packed(
+        W, V, bo2, times, values, num_moments=num_moments,
+        activation=activation, input_scaling=input_scaling,
+        compute_dtype=compute_dtype, interpret=interpret,
+        shared_network=shared_network)

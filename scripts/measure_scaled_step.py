@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--shared", action="store_true",
+                    help="measure the shared-network variant of the config")
     args = ap.parse_args()
 
     import jax
@@ -75,18 +77,38 @@ def main():
                 input_dim=1, hidden_dim=args.hidden, output_dim=1,
                 num_moments=2, n_hidden_layers=1, activation="relu",
                 variance_method="direct", t_max=1.0,
-                use_pallas=("step" if arm == "step" else False),
+                shared_network=args.shared,
+                use_pallas=("step" if arm in ("step", "packed") else False),
                 compute_dtype=cdt)
-            if arm == "step" and not model._use_fused_step(times.shape[1]):
+            if arm in ("step", "packed") and not model._use_fused_step(
+                    times.shape[1]):
                 log(f"SKIP {arm}/{dtype}: kernel ineligible")
                 continue
             tx = make_adam(1e-3, 5e-4)
             params = model.init(jax.random.PRNGKey(0))
+
+            if arm == "packed":
+                # train state = the kernel's padded tensors; zero per-step
+                # pytree<->padded packing glue (ops/fused_step.py)
+                from njode_tpu.ops.fused_step import (fused_step_apply_packed,
+                                                      pack_params,
+                                                      packed_state_safe)
+                assert packed_state_safe("relu", "identity")
+                params = pack_params(params, num_moments=2,
+                                     hidden_dim=args.hidden,
+                                     shared_network=args.shared)
             opt_state = tx.init(params)
 
             def one_step(p, s):
                 def loss_fn(pp):
-                    preds, before = model.apply(pp, times, values, mask)
+                    if arm == "packed":
+                        preds, before = fused_step_apply_packed(
+                            *pp, times, values, num_moments=2,
+                            activation="relu", input_scaling="identity",
+                            compute_dtype=model.compute_dtype,
+                            shared_network=args.shared)
+                    else:
+                        preds, before = model.apply(pp, times, values, mask)
                     return nj_ode_loss_dense(values, preds, before, mask,
                                              ignore_first_continuity=True,
                                              moment_weights=[1.0, 10.0])
@@ -142,11 +164,13 @@ def main():
                   f"{[f'{d*1e3:.3f}' for d in deltas]})", flush=True)
 
     for dtype in args.dtypes.split(","):
-        a, b = results.get(("xla", dtype)), results.get(("step", dtype))
-        if a and b:
-            print(f"speedup {dtype}: {a[0]/b[0]:.2f}x "
-                  f"(xla {a[0]*1e3:.3f} ms -> step {b[0]*1e3:.3f} ms)",
-                  flush=True)
+        a = results.get(("xla", dtype))
+        for other in ("step", "packed"):
+            b = results.get((other, dtype))
+            if a and b:
+                print(f"speedup {dtype}: {a[0]/b[0]:.2f}x "
+                      f"(xla {a[0]*1e3:.3f} ms -> {other} {b[0]*1e3:.3f} ms)",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,82 @@ def test_gradient_parity_under_jit_train_step():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("shared", [False, True])
+def test_pack_unpack_roundtrip(shared):
+    """unpack(pack(params)) reproduces the pytree exactly."""
+    from njode_tpu.ops.fused_step import pack_params, unpack_params
+
+    m = NeuralJumpODE(shared_network=shared, **MODEL_KW)
+    params = m.init(jax.random.PRNGKey(2))
+    W, V, bo2 = pack_params(params, num_moments=2, hidden_dim=24,
+                            shared_network=shared)
+    back = unpack_params(W, V, bo2, num_moments=2, hidden_dim=24,
+                         shared_network=shared)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert a.shape == b.shape, (jax.tree_util.keystr(ka), a.shape, b.shape)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(ka))
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_packed_state_training(shared):
+    """Training directly on the padded (W, V, bo2) state matches pytree
+    training step-for-step, and the padding stays EXACTLY zero (the
+    property that makes padded tensors safe as a train state)."""
+    import optax
+    from njode_tpu.ops.fused_step import (fused_step_apply_packed,
+                                          pack_params, unpack_params)
+    from njode_tpu.utils.training import make_adam
+
+    H = MODEL_KW["hidden_dim"]
+    xla, fused, params = _models(shared_network=shared)
+    times, values = _batch(8, 4, seed=11)
+    mask = jnp.ones(times.shape, bool)
+    tx = make_adam(1e-3, 5e-4)
+
+    def pytree_loss(p):
+        pr, pb = fused.apply(p, times, values, mask)
+        return nj_ode_loss_dense(values, pr, pb, mask,
+                                 moment_weights=[1.0, 10.0])
+
+    def packed_loss(st):
+        W, V, bo2 = st
+        pr, pb = fused_step_apply_packed(
+            W, V, bo2, times, values, num_moments=2, activation="relu",
+            input_scaling="identity", interpret=True, shared_network=shared)
+        return nj_ode_loss_dense(values, pr, pb, mask,
+                                 moment_weights=[1.0, 10.0])
+
+    p = params
+    opt_p = tx.init(p)
+    st = pack_params(params, num_moments=2, hidden_dim=H,
+                     shared_network=shared)
+    pad_mask = jax.tree_util.tree_map(lambda x: x == 0.0, st)
+    opt_s = tx.init(st)
+    for _ in range(3):
+        _, g = jax.value_and_grad(pytree_loss)(p)
+        u, opt_p = tx.update(g, opt_p, p)
+        p = optax.apply_updates(p, u)
+
+        _, gs = jax.value_and_grad(packed_loss)(st)
+        us, opt_s = tx.update(gs, opt_s, st)
+        st = optax.apply_updates(st, us)
+
+    # padded entries that started at zero never moved
+    for x, mask0 in zip(st, pad_mask):
+        assert np.all(np.asarray(x)[np.asarray(mask0)] == 0.0)
+    back = unpack_params(*st, num_moments=2, hidden_dim=H,
+                         shared_network=shared)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p),
+            jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"packed-state drift at {jax.tree_util.keystr(ka)}")
+
+
 def test_bf16_mode_close_to_xla_bf16():
     """compute_dtype=bfloat16: fused forward tracks the XLA bf16 path at
     bf16 tolerance."""
