@@ -78,6 +78,13 @@ def main():
                          "measures faster for whole training programs, and "
                          "'auto' only engages kernels on inference paths "
                          "(BENCH_NOTES.md)")
+    ap.add_argument("--pallas-train", action="store_true",
+                    help="run the ENTIRE training loop as one Pallas "
+                         "program (ops/train_kernel.py): params + Adam "
+                         "state live in VMEM across all minibatch steps, "
+                         "the loss gradient is computed in closed form "
+                         "in-kernel; targets the dispatch-bound default "
+                         "recipe")
     ap.add_argument("--pallas-step", action="store_true",
                     help="use the fused whole-step kernel "
                          "(ops/fused_step.py) for the training forward/"
@@ -197,6 +204,76 @@ def main():
         (params, opt_state, _), losses = lax.scan(
             epoch_body, (params, opt_state, key), jnp.arange(E))
         return params, opt_state, losses
+
+    # the whole-run training kernel is the measured-fastest path for the
+    # default-recipe shapes (BENCH_NOTES.md r3b: 2.69M vs 2.28M traj/s
+    # same-run) — default it on for eligible small-model TPU configs,
+    # exactly like --scaled defaults to the fused-step kernel
+    auto_train_kernel = False
+    if (platform == "tpu" and not args.pallas_train and not args.pallas
+            and not args.pallas_step and not args.no_pallas
+            and not args.shared_network and args.dt_ode_step is None
+            and args.ode_solver == "euler"
+            and args.compute_dtype == "float32"
+            and args.hidden_dim <= 128):
+        args.pallas_train = auto_train_kernel = True
+
+    if args.pallas_train:
+        # the whole-run training kernel: identical recipe (fresh data per
+        # epoch, shuffled minibatches, traj-masked final minibatch, Adam
+        # 1e-3/5e-4), but every minibatch step executes inside ONE Pallas
+        # program — semantics pinned vs the optax loop in
+        # tests/test_train_kernel.py
+        from njode_tpu.ops.train_kernel import (fused_train_run,
+                                                init_train_state,
+                                                pack_minibatches,
+                                                train_kernel_available,
+                                                train_state_params)
+        eligible = (train_kernel_available(
+            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+            args.dt_ode_step, args.ode_solver)
+            and args.compute_dtype == "float32" and args.hidden_dim <= 128)
+        N_slots = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
+                                     args.obs_fraction, obs_only=obs_only,
+                                     **P).times.shape[1])
+        eligible = eligible and (2 * N_slots + 1 <= 128)
+        if not eligible:
+            if not auto_train_kernel:
+                raise SystemExit(
+                    "--pallas-train: config not eligible (needs separate "
+                    "networks, no --dt-ode-step, euler, f(0)=0 activation, "
+                    "float32, hidden_dim <= 128, obs slots <= 63)")
+            args.pallas_train = False
+        else:
+            log(f"bench: whole-run training kernel engaged "
+                f"({'auto' if auto_train_kernel else 'explicit'})")
+
+    if args.pallas_train:
+
+        def train_all(params, opt_state, key):  # noqa: F811
+            def epoch_data(e):
+                k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
+                batch = simulate_batch(k_data, n, args.process,
+                                       args.obs_fraction, obs_only=obs_only,
+                                       **P)
+                perm = jax.random.permutation(k_perm, n)
+                idx = jnp.concatenate(
+                    [perm, jnp.zeros((n_pad - n,), perm.dtype)])
+                return (batch.times[idx], batch.values[idx],
+                        jnp.arange(n_pad) < n)
+
+            ts, vs, valid = jax.vmap(epoch_data)(jnp.arange(E))
+            data = pack_minibatches(ts.reshape(E * n_pad, N_slots),
+                                    vs.reshape(E * n_pad, N_slots, 1),
+                                    valid.reshape(E * n_pad), bs)
+            st = init_train_state(params, num_moments=2,
+                                  hidden_dim=args.hidden_dim)
+            st, step_losses = fused_train_run(
+                st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
+                lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
+            params = train_state_params(st, num_moments=2,
+                                        hidden_dim=args.hidden_dim)
+            return params, opt_state, step_losses.reshape(E, nb).mean(axis=1)
 
     params = model.init(jax.random.PRNGKey(0))
     opt_state = tx.init(params)

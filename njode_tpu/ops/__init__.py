@@ -11,8 +11,10 @@ from .fused_cell import (
 )
 from .fused_step import fused_step_apply, fused_step_available
 from .gap_scan import gap_scan_available, integrate_gap_fused
+from .train_kernel import fused_train_run, train_kernel_available
 
 __all__ = ["HAS_PALLAS", "SUPPORTED_ACTS", "fused_cell_available",
            "fused_euler_cell", "ode_euler_fused",
            "fused_step_apply", "fused_step_available",
-           "gap_scan_available", "integrate_gap_fused"]
+           "gap_scan_available", "integrate_gap_fused",
+           "fused_train_run", "train_kernel_available"]
