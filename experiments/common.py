@@ -158,7 +158,7 @@ def add_common_args(parser: argparse.ArgumentParser,
                         help='Checkpoint format: single-file msgpack or an '
                              'Orbax directory (multi-host sharded params)')
     parser.add_argument('--kernels', type=str, default='off',
-                        choices=['off', 'auto', 'force', 'step'],
+                        choices=['off', 'auto', 'force', 'step', 'train'],
                         help='Pallas kernel policy: off = pure XLA (default;'
                              ' fastest for most training programs), auto = '
                              'enable the gap kernel in its measured-win '
@@ -166,7 +166,12 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'per-gap kernels on, step = the fused whole-'
                              'step training kernel (1.5-1.8x the scaled-'
                              'config step; needs separate networks, 1 '
-                             'hidden layer, no dropout, no --dt-ode-step)')
+                             'hidden layer, no dropout, no --dt-ode-step), '
+                             'train = the whole-run training kernel '
+                             '(params + Adam state resident in VMEM across '
+                             'every minibatch step; small models only: '
+                             'hidden <= 128, batch <= 256, same model '
+                             'limits as step)')
     parser.add_argument('--debug-checks', action='store_true',
                         help='Enable in-graph runtime asserts (substep-'
                              'budget exhaustion inside jitted steps); costs '
@@ -231,7 +236,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "checkpoint_backend": args.checkpoint_backend,
         "ensemble": args.ensemble,
         "use_pallas": {"off": False, "auto": "auto", "force": True,
-                       "step": "step"}[args.kernels],
+                       "step": "step", "train": "train"}[args.kernels],
         "debug_checks": args.debug_checks,
         "seed": args.seed,
         "data_seed": args.data_seed,

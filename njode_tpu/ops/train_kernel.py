@@ -463,6 +463,66 @@ def train_state_params(state, *, num_moments: int, hidden_dim: int):
                          hidden_dim=hidden_dim)
 
 
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside an optax chain state tuple."""
+    import optax
+    for i, s in enumerate(opt_state):
+        if isinstance(s, optax.ScaleByAdamState):
+            return i, s
+    raise ValueError("train kernel: optimizer state has no ScaleByAdamState "
+                     "(the kernel implements exactly the make_adam chain)")
+
+
+def kernel_state_from(params, opt_state, *, num_moments: int,
+                      hidden_dim: int, betas=(0.9, 0.999)):
+    """(params, optax opt_state) -> the kernel train state.
+
+    The Adam moments pack through the SAME layout as the params (mu/nu are
+    congruent pytrees), and the bias-correction powers b1^t, b2^t are
+    rebuilt from the optax step count — so a kernel run can resume exactly
+    from an XLA-trainer checkpoint and vice versa
+    (tests/test_train_kernel.py::test_trainer_checkpoint_interop).
+    """
+    _, adam = _find_adam_state(opt_state)
+    kw = dict(num_moments=num_moments, hidden_dim=hidden_dim)
+
+    def pack_with_bo2(tree):
+        W, V, bo2 = pack_params(tree, **kw)
+        Hp = W.shape[-1]
+        return W, V.at[:, ROW_BO2, :].set(
+            jnp.broadcast_to(bo2[:, None], (num_moments, Hp)))
+
+    W, V = pack_with_bo2(params)
+    mW, mV = pack_with_bo2(adam.mu)
+    vW, vV = pack_with_bo2(adam.nu)
+    count = adam.count.astype(jnp.float32)
+    stat = jnp.zeros((8, LANES), jnp.float32)
+    stat = stat.at[0, :].set(jnp.power(betas[0], count))
+    stat = stat.at[1, :].set(jnp.power(betas[1], count))
+    return (W, V, mW, vW, mV, vV, stat)
+
+
+def optax_state_into(state, n_steps: int, opt_state, *, num_moments: int,
+                     hidden_dim: int):
+    """Kernel train state (+ how many steps it ran) -> (params, opt_state),
+    with the template ``opt_state``'s ScaleByAdamState replaced."""
+    import optax
+    kw = dict(num_moments=num_moments, hidden_dim=hidden_dim)
+    W, V, mW, vW, mV, vV, _ = state
+
+    def unpack_with_bo2(Wt, Vt):
+        return unpack_params(Wt, Vt, Vt[:, ROW_BO2, 0], **kw)
+
+    params = unpack_with_bo2(W, V)
+    i, adam = _find_adam_state(opt_state)
+    new_adam = optax.ScaleByAdamState(
+        count=adam.count + jnp.asarray(n_steps, adam.count.dtype),
+        mu=unpack_with_bo2(mW, mV), nu=unpack_with_bo2(vW, vV))
+    opt_state = tuple(new_adam if j == i else s
+                      for j, s in enumerate(opt_state))
+    return params, opt_state
+
+
 def pack_minibatches(times, values, valid, batch_size: int):
     """(B, N) obs times + (B, N, 1) values + (B,) valid flags, with B a
     multiple of ``batch_size``, -> the kernel's (B, LANES) row layout

@@ -176,7 +176,9 @@ class Trainer:
                  extended_moments: bool = False,
                  mesh=None, seed: int = 0,
                  checkpoint_backend: str = "msgpack",
-                 model_shard: str = "none"):
+                 model_shard: str = "none",
+                 use_train_kernel=False,
+                 train_kernel_opts: Optional[Dict] = None):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else make_adam(1e-3)
         self.device = device
@@ -186,6 +188,13 @@ class Trainer:
         self.extended_moments = extended_moments
         self.checkpoint_backend = checkpoint_backend
         self.mesh = mesh
+        # the whole-run training kernel (ops/train_kernel.py): every epoch's
+        # minibatch loop runs as ONE Pallas program with params + Adam state
+        # in VMEM.  False | True | "interpret" (CPU tests).  The optimizer
+        # passed above MUST be make_adam(lr, weight_decay) with the values
+        # in train_kernel_opts — the kernel implements exactly that chain.
+        self.use_train_kernel = use_train_kernel
+        self.train_kernel_opts = dict(train_kernel_opts or {})
         if model_shard not in ("none", "moments", "hidden"):
             raise ValueError(f"Unknown model_shard: {model_shard!r} "
                              "(one of 'none', 'moments', 'hidden')")
@@ -288,6 +297,122 @@ class Trainer:
             return self._epoch_update(params, opt_state, times, values, mask,
                                       key, n, batch_size, shuffle)
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _train_kernel_check(self, batch_size: Optional[int]):
+        """Fail fast (with every problem listed) when the whole-run kernel
+        can't represent this training setup."""
+        from ..ops.train_kernel import train_kernel_available
+        m = self.model
+        problems = []
+        if not train_kernel_available(
+                m.shared_network, m.input_dim, m.output_dim,
+                m.n_hidden_layers, m.activation.lower(), m.dropout_rate,
+                m.input_scaling.lower(), m.dt_ode_step, m.ode_solver):
+            problems.append(
+                "model config (needs separate networks, input/output dim 1, "
+                "one hidden layer, no dropout, euler, no --dt-ode-step, an "
+                "f(0)=0 activation/scaling)")
+        if m.num_moments != 2:
+            problems.append("num_moments must be 2")
+        if m.hidden_dim > 128:
+            problems.append("hidden_dim must be <= 128 (larger models are "
+                            "faster on --kernels step)")
+        if m.compute_dtype is not None:
+            problems.append("float32 only")
+        if not self.ignore_first_continuity:
+            problems.append("ignore_first_continuity must be enabled")
+        if self.extended_moments:
+            problems.append("extended_moments unsupported")
+        if self.mesh is not None:
+            problems.append("data/model-parallel meshes unsupported")
+        if batch_size is None or batch_size % 8 or batch_size > 256:
+            problems.append("batch_size must be a multiple of 8 and <= 256 "
+                            "(the minibatch is the kernel's VMEM row tile)")
+        for k in ("lr", "weight_decay"):
+            if k not in self.train_kernel_opts:
+                problems.append(f"train_kernel_opts missing {k!r}")
+        if problems:
+            raise ValueError("--kernels train not applicable: "
+                             + "; ".join(problems))
+
+    def _build_kernel_chunk_fn(self, loader: "DataLoader", rel,
+                               batch_size: int, shuffle: bool,
+                               L: int, print_every: int):
+        """The whole-run-kernel twin of :meth:`_build_chunk_fn`: same
+        (params, opt_state) API and identical history semantics, but each
+        epoch's minibatch loop executes as one Pallas program.  The optax
+        state converts exactly at the chunk boundary (kernel_state_from /
+        optax_state_into), so checkpoints remain interchangeable with the
+        XLA trainer's.  The shuffle key stream matches _epoch_update's, so
+        per-epoch losses reproduce the XLA path to float tolerance."""
+        from ..ops.train_kernel import (fused_train_run, kernel_state_from,
+                                        optax_state_into, pack_minibatches,
+                                        train_state_params)
+        n = loader.n_trajectories
+        bs = batch_size
+        nb = -(-n // bs)
+        n_pad = nb * bs
+        kd = dict(num_moments=self.model.num_moments,
+                  hidden_dim=self.model.hidden_dim)
+        lr = float(self.train_kernel_opts["lr"])
+        wd = float(self.train_kernel_opts["weight_decay"])
+        mw = tuple(self.moment_weights) if self.moment_weights else (1.0, 1.0)
+        interp = self.use_train_kernel == "interpret"
+        cached = None
+        if loader.cache:
+            b = loader(0)
+            cached = (b.times, b.values)
+
+        def chunk_fn(params, opt_state, key, epoch0, val_t, val_v, val_m):
+            kst = kernel_state_from(params, opt_state, **kd)
+
+            def body(kst, e):
+                epoch = epoch0 + e
+                if cached is not None:
+                    times, values = cached
+                else:
+                    b = loader.traced_gen(epoch)
+                    times, values = b.times, b.values
+                k_perm, _ = jax.random.split(jax.random.fold_in(key, epoch))
+                perm = (jax.random.permutation(k_perm, n) if shuffle
+                        else jnp.arange(n))
+                idx = jnp.concatenate(
+                    [perm, jnp.zeros((n_pad - n,), perm.dtype)])
+                data = pack_minibatches(times[idx], values[idx],
+                                        jnp.arange(n_pad) < n, bs)
+                kst2, step_losses = fused_train_run(
+                    kst, data, n_slots=times.shape[1], batch_size=bs,
+                    lr=lr, weight_decay=wd, moment_weights=mw,
+                    variance_method=self.variance_method, interpret=interp,
+                    num_moments=self.model.num_moments,
+                    activation=self.model.activation.lower(),
+                    input_scaling=self.model.input_scaling.lower())
+                tr_loss = jnp.mean(step_losses)
+                p = train_state_params(kst2, **kd)
+                val_loss = (self._loss(p, val_t, val_v, val_m)
+                            if val_t is not None else jnp.nan)
+                if rel is not None:
+                    def rel_val(_):
+                        Lm = self._loss_no_first(p, rel["times"],
+                                                 rel["values"], rel["mask"])
+                        Lt = nj_ode_loss_dense(
+                            rel["values"], rel["y_true"],
+                            rel["y_true_before"], rel["mask"],
+                            moment_weights=self.moment_weights,
+                            variance_method=self.variance_method,
+                            extended_moments=self.extended_moments)
+                        return (Lm - Lt) / jnp.maximum(Lt, 1e-8)
+                    r = lax.cond(epoch % print_every == 0, rel_val,
+                                 lambda _: jnp.nan, operand=None)
+                else:
+                    r = jnp.nan
+                return kst2, (tr_loss, val_loss, r)
+
+            kst, (tr, vl, rl) = lax.scan(body, kst, jnp.arange(L))
+            params, opt_state = optax_state_into(kst, L * nb, opt_state, **kd)
+            return params, opt_state, tr, vl, rl
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1))
 
     def _build_chunk_fn(self, loader: "DataLoader",
                         rel, batch_size: Optional[int], shuffle: bool,
@@ -515,6 +640,19 @@ class Trainer:
                       and isinstance(train_data_fn, DataLoader)
                       and (val_data_fn is None
                            or isinstance(val_data_fn, DataLoader)))
+        if self.use_train_kernel:
+            self._train_kernel_check(batch_size)
+            if not use_chunks:
+                raise ValueError("--kernels train requires on-device "
+                                 "DataLoaders (the fused chunk path)")
+            if (self.use_train_kernel is True
+                    and jax.default_backend() != "tpu"):
+                # mirror --kernels step's off-TPU story, but the whole-run
+                # kernel has no XLA twin to fall back to — run the Pallas
+                # interpreter (correct, slow; fine for CLI smoke tests)
+                print("Note: --kernels train off TPU; using the Pallas "
+                      "interpreter")
+                self.use_train_kernel = "interpret"
         if use_chunks:
             return self._train_chunked(
                 train_data_fn, val_data_fn, start_epoch, n_epochs,
@@ -589,8 +727,10 @@ class Trainer:
 
         def get_fn(L):
             if L not in fns:
-                fns[L] = self._build_chunk_fn(loader, rel, batch_size,
-                                              shuffle, L, print_every)
+                build = (self._build_kernel_chunk_fn if self.use_train_kernel
+                         else self._build_chunk_fn)
+                fns[L] = build(loader, rel, batch_size, shuffle, L,
+                               print_every)
             return fns[L]
 
         self._rng, key = jax.random.split(self._rng)
@@ -737,6 +877,14 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         mesh = make_mesh(data=(n_dp if n_dp and n_dp > 1 else None),
                          model=int(config.get("model_parallel", 1) or 1))
 
+    # --kernels train is a TRAINER strategy (the whole-run Pallas program),
+    # not a model forward mode — the model itself stays on the XLA path for
+    # eval/plots while the Trainer routes epochs through ops/train_kernel.py
+    use_pallas_cfg = config.get("use_pallas", False)
+    use_train_kernel = use_pallas_cfg == "train"
+    if use_train_kernel:
+        use_pallas_cfg = False
+
     model = NeuralJumpODE(
         input_dim=config["input_dim"],
         hidden_dim=config["hidden_dim"],
@@ -755,7 +903,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         t_max=config.get("data", {}).get("T", 1.0),
         compute_dtype=config.get("compute_dtype"),
         ode_solver=config.get("ode_solver", "euler"),
-        use_pallas=config.get("use_pallas", False),
+        use_pallas=use_pallas_cfg,
         debug_checks=config.get("debug_checks", False),
     )
 
@@ -777,7 +925,11 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
                       model_shard=(config.get("model_parallel_mode")
                                    or ("moments"
                                        if int(config.get("model_parallel", 1)
-                                              or 1) > 1 else "none")))
+                                              or 1) > 1 else "none")),
+                      use_train_kernel=use_train_kernel,
+                      train_kernel_opts=dict(
+                          lr=config["learning_rate"],
+                          weight_decay=config["weight_decay"]))
 
     train_data_fn, val_data_fn = create_data_loaders(
         base_seed=config.get("data_seed", 0), **config["data"])

@@ -54,6 +54,37 @@ def test_experiment_cli(tmp_path, script, name):
         config["data"]["process_type"])
 
 
+def test_train_kernel_cli(tmp_path):
+    """--kernels train: the whole-run training kernel drives the CLI run
+    (Pallas interpreter off-TPU) and produces the standard artifacts."""
+    r = run_cli("experiment_black_scholes.py",
+                ["--n-train", "16", "--n-val", "8", "--n-epochs", "2",
+                 "--batch-size", "8", "--print-every", "1",
+                 "--n-steps", "20", "--kernels", "train", "--no-plots"],
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Pallas interpreter" in r.stdout
+    d = tmp_path / "runs" / "njode_black_scholes"
+    history = json.loads((d / "history.json").read_text())
+    assert len(history["train_loss"]) == 2
+    assert len(history["val_loss"]) == 2
+    config = json.loads((d / "config.json").read_text())
+    assert config["use_pallas"] == "train"
+
+
+def test_train_kernel_cli_rejects_bad_config(tmp_path):
+    """--kernels train with an ineligible model fails fast, listing every
+    problem (no silent XLA fallback)."""
+    r = run_cli("experiment_black_scholes.py",
+                ["--n-train", "16", "--n-val", "8", "--n-epochs", "2",
+                 "--batch-size", "12", "--dropout-rate", "0.3",
+                 "--n-steps", "20", "--kernels", "train", "--no-plots"],
+                cwd=tmp_path)
+    assert r.returncode != 0
+    assert "not applicable" in r.stdout + r.stderr
+    assert "multiple of 8" in r.stdout + r.stderr
+
+
 def test_compare_cli(tmp_path):
     r = run_cli("experiment_black_scholes.py", TINY + ["--no-plots"],
                 cwd=tmp_path)

@@ -137,6 +137,124 @@ def test_resume_across_calls():
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_trainer_checkpoint_interop():
+    """An XLA-trainer (params, optax opt_state) converts into the kernel
+    train state and back losslessly mid-run: G XLA steps -> convert ->
+    G kernel steps == 2G XLA steps (incl. Adam count/bias correction)."""
+    from njode_tpu.ops.train_kernel import kernel_state_from, optax_state_into
+
+    G, lr, wd = 2, 1e-3, 5e-4
+    times, values = _data(2 * G * BS, seed=7)
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(4))
+    tx = make_adam(lr, wd)
+    opt = tx.init(params)
+
+    def xla_step(params, opt, sl):
+        t, v = times[sl], values[sl]
+
+        def loss_fn(p):
+            pr, pb = model.apply(p, t, v)
+            return nj_ode_loss_dense(v, pr, pb, None,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0],
+                                     variance_method="direct")
+
+        _, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt
+
+    # arm 1: 2G pure-XLA steps
+    p_ref, o_ref = params, opt
+    for g in range(2 * G):
+        p_ref, o_ref = xla_step(p_ref, o_ref, slice(g * BS, (g + 1) * BS))
+
+    # arm 2: G XLA steps, convert, G kernel steps, convert back
+    p_mid, o_mid = params, opt
+    for g in range(G):
+        p_mid, o_mid = xla_step(p_mid, o_mid, slice(g * BS, (g + 1) * BS))
+    kst = kernel_state_from(p_mid, o_mid, num_moments=2, hidden_dim=H)
+    data = pack_minibatches(times[G * BS:], values[G * BS:],
+                            jnp.ones((G * BS,), bool), BS)
+    kst, _ = fused_train_run(kst, data, n_slots=N, num_moments=2,
+                             batch_size=BS, lr=lr, weight_decay=wd,
+                             interpret=True)
+    p_k, o_k = optax_state_into(kst, G, o_mid, num_moments=2, hidden_dim=H)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
+    import optax as _optax
+    adam_ref = next(s for s in o_ref
+                    if isinstance(s, _optax.ScaleByAdamState))
+    adam_k = next(s for s in o_k
+                  if isinstance(s, _optax.ScaleByAdamState))
+    assert int(adam_k.count) == int(adam_ref.count) == 2 * G
+    for a, b in zip(jax.tree_util.tree_leaves(adam_ref.mu),
+                    jax.tree_util.tree_leaves(adam_k.mu)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-7)
+
+
+def test_trainer_kernel_mode_matches_xla():
+    """Trainer(use_train_kernel='interpret') reproduces the default XLA
+    trainer's whole train() run: per-epoch train/val losses and final
+    params, with identical shuffle-key streams."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd = 1e-3, 5e-4
+
+    def run(kernel):
+        model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                              num_moments=2)
+        tr = Trainer(model, make_adam(lr, wd),
+                     ignore_first_continuity=True,
+                     moment_weights=[1.0, 10.0], seed=0,
+                     use_train_kernel=("interpret" if kernel else False),
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd))
+        train_fn, val_fn = create_data_loaders(
+            process_type="black_scholes", n_train=2 * BS, n_val=8,
+            obs_fraction=N / 100.0, cache_data=True, base_seed=0,
+            obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+        hist = tr.train(train_fn, val_fn, n_epochs=3, batch_size=BS,
+                        print_every=1)
+        return hist, tr.params
+
+    h_x, p_x = run(False)
+    h_k, p_k = run(True)
+    np.testing.assert_allclose(np.asarray(h_k["train_loss"]),
+                               np.asarray(h_x["train_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_k["val_loss"]),
+                               np.asarray(h_x["val_loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_x),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
+
+
+def test_trainer_kernel_check_rejects():
+    """Ineligible configs fail fast with every problem listed."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2, dropout_rate=0.3)
+    tr = Trainer(model, make_adam(1e-3), ignore_first_continuity=False,
+                 use_train_kernel="interpret")
+    train_fn, _ = create_data_loaders(
+        process_type="black_scholes", n_train=BS, n_val=4,
+        obs_fraction=N / 100.0, cache_data=True, obs_only=True,
+        mu=0.1, sigma=0.5, x0=1.0)
+    with pytest.raises(ValueError) as ei:
+        tr.train(train_fn, None, n_epochs=1, batch_size=12)
+    msg = str(ei.value)
+    assert "model config" in msg            # dropout
+    assert "ignore_first_continuity" in msg
+    assert "multiple of 8" in msg           # batch_size 12
+    assert "train_kernel_opts" in msg
+
+
 def test_availability_gating():
     assert train_kernel_available(False, 1, 1, 1, "relu", 0.0, "identity",
                                   None)
