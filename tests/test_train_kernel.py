@@ -255,6 +255,44 @@ def test_trainer_kernel_check_rejects():
     assert "train_kernel_opts" in msg
 
 
+def test_vmap_kernel_members_independent():
+    """jax.vmap over fused_train_run keeps members independent and exact:
+    Pallas's batching rule prepends a batch grid axis and remaps
+    program_id, so the VMEM scratch-carry (params/Adam state across the
+    step grid) stays per-member.  (Measured SLOWER than the XLA vmapped
+    ensemble on TPU — BENCH_NOTES r3c — so ensembles don't use it; this
+    pins that the primitive composes correctly regardless.)"""
+    G, Emembers = 2, 3
+    states, datas = [], []
+    for e in range(Emembers):
+        p = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2).init(jax.random.PRNGKey(e))
+        states.append(init_train_state(p, num_moments=2, hidden_dim=H))
+        t, v = _data(G * BS, seed=40 + e)
+        datas.append(pack_minibatches(t, v, jnp.ones((G * BS,), bool), BS))
+    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    dstack = jnp.stack(datas)
+    kw = dict(n_slots=N, num_moments=2, batch_size=BS, lr=1e-3,
+              weight_decay=5e-4, interpret=True)
+
+    ref = [fused_train_run(st, d, **kw) for st, d in zip(states, datas)]
+    vst, vloss = jax.vmap(lambda st, d: fused_train_run(st, d, **kw))(
+        stack, dstack)
+
+    for e in range(Emembers):
+        st_r, l_r = ref[e]
+        np.testing.assert_allclose(np.asarray(vloss[e]), np.asarray(l_r),
+                                   rtol=1e-6)
+        p_r = train_state_params(st_r, num_moments=2, hidden_dim=H)
+        p_v = train_state_params(
+            jax.tree_util.tree_map(lambda x: x[e], vst),
+            num_moments=2, hidden_dim=H)
+        for a, b in zip(jax.tree_util.tree_leaves(p_r),
+                        jax.tree_util.tree_leaves(p_v)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-8)
+
+
 def test_availability_gating():
     assert train_kernel_available(False, 1, 1, 1, "relu", 0.0, "identity",
                                   None)
