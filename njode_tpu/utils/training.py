@@ -884,6 +884,12 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     use_train_kernel = use_pallas_cfg == "train"
     if use_train_kernel:
         use_pallas_cfg = False
+        if n_ensemble > 1:
+            # measured: the XLA vmapped ensemble beats the vmapped kernel
+            # (members fold into the matmul batch axis — BENCH_NOTES r3c)
+            raise ValueError(
+                "--kernels train is a single-model strategy; ensembles run "
+                "the (measured-faster) XLA vmapped path — drop one flag")
 
     model = NeuralJumpODE(
         input_dim=config["input_dim"],

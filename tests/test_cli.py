@@ -85,6 +85,19 @@ def test_train_kernel_cli_rejects_bad_config(tmp_path):
     assert "multiple of 8" in r.stdout + r.stderr
 
 
+def test_train_kernel_cli_rejects_ensemble(tmp_path):
+    """--kernels train + --ensemble raises (ensembles measured faster on
+    the XLA vmapped path, BENCH_NOTES r3c) instead of silently ignoring
+    a flag."""
+    r = run_cli("experiment_black_scholes.py",
+                ["--n-train", "16", "--n-val", "8", "--n-epochs", "2",
+                 "--batch-size", "8", "--n-steps", "20", "--ensemble", "2",
+                 "--kernels", "train", "--no-plots"],
+                cwd=tmp_path)
+    assert r.returncode != 0
+    assert "single-model strategy" in r.stdout + r.stderr
+
+
 def test_compare_cli(tmp_path):
     r = run_cli("experiment_black_scholes.py", TINY + ["--no-plots"],
                 cwd=tmp_path)
