@@ -31,6 +31,24 @@ def get_activation(name: str) -> Activation:
     return ACTIVATION_FUNCTIONS.get(name.lower(), jax.nn.relu)
 
 
+def canonical_activation(name: str) -> str:
+    """The table key :func:`get_activation` actually resolves ``name`` to
+    (unknown names -> ``'relu'``, the reference's silent fallback).
+
+    Kernel-eligibility checks and Pallas activation tables must consume
+    THIS, not the raw config string — e.g. the OU CLI's ``'identity'``
+    default computes ReLU, so the kernels apply ReLU too."""
+    n = name.lower()
+    return n if n in ACTIVATION_FUNCTIONS else "relu"
+
+
+def canonical_input_scaling(name: str) -> str:
+    """The scaling key :func:`get_input_scaling` resolves to
+    (``'none'`` is the reference's alias for identity)."""
+    n = name.lower()
+    return "identity" if n in ("identity", "none") else n
+
+
 # Input-scaling functions for the ODE drift network
 # (reference: models/jump_ode.py:43-50).
 def get_input_scaling(name: str) -> Activation:

@@ -44,7 +44,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .activations import get_activation, get_input_scaling
+from .activations import (canonical_activation,
+                          canonical_input_scaling,
+                          get_activation, get_input_scaling)
 from .mlp import (
     count_params,
     jump_nn_apply,
@@ -150,6 +152,12 @@ class NeuralJumpODE:
 
         self._act = get_activation(activation)
         self._scale = get_input_scaling(input_scaling)
+        # the names the above actually resolved to — kernel eligibility and
+        # Pallas activation tables consume these, never the raw strings
+        # (the OU CLI's 'identity' default computes ReLU via the
+        # reference's silent fallback; 'none' aliases identity scaling)
+        self._act_key = canonical_activation(activation)
+        self._scale_key = canonical_input_scaling(input_scaling)
 
         if max_substeps is not None:
             self.max_substeps = max_substeps
@@ -180,16 +188,16 @@ class NeuralJumpODE:
         self.use_pallas = use_pallas
         # both kernels implement the (reference-exact) Euler step only
         self._fused_eligible = (ode_solver == "euler") and fused_cell_available(
-            n_hidden_layers, activation.lower(), dropout_rate)
+            n_hidden_layers, self._act_key, dropout_rate)
         self._gap_eligible = (ode_solver == "euler") and gap_scan_available(
-            n_hidden_layers, activation.lower(), dropout_rate,
-            input_scaling.lower())
+            n_hidden_layers, self._act_key, dropout_rate,
+            self._scale_key)
         # the whole-step fused kernel (use_pallas="step"): jump -> gap Euler
         # -> readout in ONE program per row tile, activations never touch
         # HBM (ops/fused_step.py; targets the hidden>=256 MFU headroom)
         self._step_eligible = fused_step_available(
             shared_network, input_dim, output_dim, n_hidden_layers,
-            activation.lower(), dropout_rate, input_scaling.lower(),
+            self._act_key, dropout_rate, self._scale_key,
             dt_ode_step, ode_solver)
 
     def _pallas_on(self) -> bool:
@@ -389,7 +397,7 @@ class NeuralJumpODE:
             from ..ops import ode_euler_fused
             return ode_euler_fused(
                 h, self._scale(x_last), self._scale(h), t_cur, t_new,
-                params["ode"]["layers"], self.activation.lower(),
+                params["ode"]["layers"], self._act_key,
                 interpret=(self.use_pallas == "interpret"))
         dt = (t_new - t_cur)[None, :, None]
         if self.ode_solver == "euler":
@@ -435,7 +443,7 @@ class NeuralJumpODE:
             return integrate_gap_fused(
                 h, self._scale(x_last), t_last, t_target,
                 params["ode"]["layers"], self.dt_ode_step, self.max_substeps,
-                self.activation.lower(), self.input_scaling.lower(),
+                self._act_key, self._scale_key,
                 interpret=(self.use_pallas == "interpret"))
 
         dt = jnp.asarray(self.dt_ode_step, dtype=t_last.dtype)
@@ -568,8 +576,8 @@ class NeuralJumpODE:
             return fused_step_apply(
                 params, times, values,
                 num_moments=self.num_moments, hidden_dim=self.hidden_dim,
-                activation=self.activation.lower(),
-                input_scaling=self.input_scaling.lower(),
+                activation=self._act_key,
+                input_scaling=self._scale_key,
                 compute_dtype=self.compute_dtype,
                 interpret=(self.use_pallas == "step-interpret"),
                 shared_network=self.shared_network)

@@ -306,8 +306,8 @@ class Trainer:
         problems = []
         if not train_kernel_available(
                 m.shared_network, m.input_dim, m.output_dim,
-                m.n_hidden_layers, m.activation.lower(), m.dropout_rate,
-                m.input_scaling.lower(), m.dt_ode_step, m.ode_solver):
+                m.n_hidden_layers, m._act_key, m.dropout_rate,
+                m._scale_key, m.dt_ode_step, m.ode_solver):
             problems.append(
                 "model config (needs separate networks, input/output dim 1, "
                 "one hidden layer, no dropout, euler, no --dt-ode-step, an "
@@ -385,8 +385,8 @@ class Trainer:
                     lr=lr, weight_decay=wd, moment_weights=mw,
                     variance_method=self.variance_method, interpret=interp,
                     num_moments=self.model.num_moments,
-                    activation=self.model.activation.lower(),
-                    input_scaling=self.model.input_scaling.lower())
+                    activation=self.model._act_key,
+                    input_scaling=self.model._scale_key)
                 tr_loss = jnp.mean(step_losses)
                 p = train_state_params(kst2, **kd)
                 val_loss = (self._loss(p, val_t, val_v, val_m)

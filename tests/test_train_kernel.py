@@ -198,17 +198,21 @@ def test_trainer_checkpoint_interop():
                                    rtol=1e-3, atol=1e-7)
 
 
-def test_trainer_kernel_mode_matches_xla():
+@pytest.mark.parametrize("activation", ["relu", "identity"])
+def test_trainer_kernel_mode_matches_xla(activation):
     """Trainer(use_train_kernel='interpret') reproduces the default XLA
     trainer's whole train() run: per-epoch train/val losses and final
-    params, with identical shuffle-key streams."""
+    params, with identical shuffle-key streams.  'identity' exercises the
+    reference's silent ReLU fallback (the OU CLI default): both paths
+    must resolve it the same way (models/activations.py
+    canonical_activation)."""
     from njode_tpu.utils.training import Trainer, create_data_loaders
 
     lr, wd = 1e-3, 5e-4
 
     def run(kernel):
         model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
-                              num_moments=2)
+                              num_moments=2, activation=activation)
         tr = Trainer(model, make_adam(lr, wd),
                      ignore_first_continuity=True,
                      moment_weights=[1.0, 10.0], seed=0,
@@ -291,6 +295,24 @@ def test_vmap_kernel_members_independent():
                         jax.tree_util.tree_leaves(p_v)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-6, atol=1e-8)
+
+
+def test_canonical_activation_keys():
+    """Kernel eligibility consumes the RESOLVED activation/scaling names:
+    'identity' (unknown -> ReLU fallback, the OU CLI default) and 'none'
+    (identity-scaling alias) must not disqualify a kernel-shaped model."""
+    from njode_tpu.models.activations import (canonical_activation,
+                                              canonical_input_scaling)
+    assert canonical_activation("identity") == "relu"
+    assert canonical_activation("ReLU") == "relu"
+    assert canonical_activation("tanh") == "tanh"
+    assert canonical_input_scaling("none") == "identity"
+    m = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                      num_moments=2, activation="identity",
+                      input_scaling="identity")
+    assert m._act_key == "relu" and m._step_eligible
+    assert train_kernel_available(False, 1, 1, 1, m._act_key, 0.0,
+                                  m._scale_key, None)
 
 
 def test_availability_gating():
