@@ -75,6 +75,52 @@ def _run_kernel(params, times, values, valid, G, lr, wd,
     return train_state_params(st, num_moments=2, hidden_dim=H), losses
 
 
+@pytest.mark.parametrize("activation", ["tanh", "elu", "leaky_relu", "selu"])
+@pytest.mark.parametrize("scaling", ["identity", "tanh"])
+def test_matches_optax_loop_activations(activation, scaling):
+    """The in-kernel backward's activation/scaling gradient tables match
+    autodiff for every zero-preserving pair the eligibility gate admits
+    (relu is covered everywhere else)."""
+    G, lr, wd = 2, 1e-3, 5e-4
+    times, values = _data(G * BS, seed=11)
+    valid = jnp.ones((G * BS,), bool)
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2, activation=activation,
+                          input_scaling=scaling)
+    params = model.init(jax.random.PRNGKey(6))
+    tx = make_adam(lr, wd)
+    opt = tx.init(params)
+    p_ref = params
+    l_ref = []
+    for g in range(G):
+        sl = slice(g * BS, (g + 1) * BS)
+        t, v = times[sl], values[sl]
+
+        def loss_fn(p):
+            pr, pb = model.apply(p, t, v)
+            return nj_ode_loss_dense(v, pr, pb, None,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0])
+
+        l, grads = jax.value_and_grad(loss_fn)(p_ref)
+        upd, opt = tx.update(grads, opt, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        l_ref.append(float(l))
+
+    data = pack_minibatches(times, values, valid, BS)
+    st = init_train_state(params, num_moments=2, hidden_dim=H)
+    st, l_k = fused_train_run(st, data, n_slots=N, num_moments=2,
+                              batch_size=BS, lr=lr, weight_decay=wd,
+                              activation=activation, input_scaling=scaling,
+                              interpret=True)
+    p_k = train_state_params(st, num_moments=2, hidden_dim=H)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
+
+
 @pytest.mark.parametrize("variance_method", ["direct", "second_moment"])
 def test_matches_optax_loop(variance_method):
     G = 4
