@@ -496,7 +496,15 @@ def simulate_batch(key: jax.Array, n_trajectories: int, process_type: str,
         grid_times = jnp.linspace(0.0, T, n_steps + 1, dtype=jnp.float32)
         obs_idx = sample_obs_indices(k_obs, n_trajectories, n_steps + 1,
                                      obs_fraction)
-        times = grid_times[obs_idx]                            # (B, N)
+        # times = grid_times[obs_idx] as ARITHMETIC, not a gather: XLA
+        # lowers the (B, N)-from-(n_grid,) gather to a serialized kCustom
+        # op that alone cost 15 ms per 200 fused default-recipe epochs —
+        # 2/3 of all datagen device time (BENCH_NOTES r3c profiler trace).
+        # i * (T/n) matches linspace to <= 1 ulp, and every consumer (gap
+        # dt differences, the hybrid min/max regime split) is continuous
+        # in times, so the data law is unchanged.
+        times = obs_idx.astype(jnp.float32) * (
+            jnp.float32(T) / jnp.float32(n_steps))
         kw = {k: v for k, v in process_kwargs.items()
               if k not in ("T", "n_steps")}
         switch_times = None
