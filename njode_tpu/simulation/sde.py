@@ -231,19 +231,18 @@ def _floyd_subset(key: jax.Array, n_paths: int, m: int, k: int):
     m ~ 98 this is the difference between ~17 ms and ~2 ms per 200
     fused epochs of the default recipe (BENCH_NOTES r3c)."""
     keys = jax.random.split(key, k)
-    js = jnp.arange(m - k, m)
-
-    def step(chosen, xs):
-        kk, j, i = xs
-        t = jax.random.randint(kk, (n_paths,), 0, j + 1)
-        dup = jnp.any(chosen == t[:, None], axis=1)
-        pick = jnp.where(dup, j, t)
-        return chosen.at[:, i].set(pick), None
-
-    chosen0 = jnp.full((n_paths, k), -1, jnp.int32)
-    chosen, _ = lax.scan(step, chosen0,
-                         (keys, js.astype(jnp.int32), jnp.arange(k)))
-    return chosen
+    # unrolled (k is small and static): no scan carry, so XLA fuses the
+    # per-step membership tests instead of a while loop +
+    # dynamic-update-slice per step
+    chosen = []
+    for i in range(k):
+        j = m - k + i
+        t = jax.random.randint(keys[i], (n_paths,), 0, j + 1)
+        if chosen:
+            dup = jnp.any(jnp.stack(chosen, axis=1) == t[:, None], axis=1)
+            t = jnp.where(dup, j, t)
+        chosen.append(t)
+    return jnp.stack(chosen, axis=1)
 
 
 def sample_obs_indices(key: jax.Array, n_paths: int, n_grid: int,
