@@ -252,14 +252,22 @@ def main():
 
         def train_all(params, opt_state, key):  # noqa: F811
             def epoch_data(e):
-                k_data, k_perm = jax.random.split(jax.random.fold_in(key, e))
+                k_data, _ = jax.random.split(jax.random.fold_in(key, e))
                 batch = simulate_batch(k_data, n, args.process,
                                        args.obs_fraction, obs_only=obs_only,
                                        **P)
-                perm = jax.random.permutation(k_perm, n)
-                idx = jnp.concatenate(
-                    [perm, jnp.zeros((n_pad - n,), perm.dtype)])
-                return (batch.times[idx], batch.values[idx],
+                # no shuffle permutation here: every epoch's rows are FRESH
+                # iid draws, and a random permutation of iid rows is the
+                # identity in distribution — the minibatch-gradient law is
+                # unchanged, and dropping it removes two row-gathers per
+                # epoch (the Trainer CLI path keeps the exact reference
+                # shuffle stream; this is the fused whole-run recipe only)
+                pad = jnp.zeros((n_pad - n, batch.times.shape[1]),
+                                batch.times.dtype)
+                vpad = jnp.zeros((n_pad - n,) + batch.values.shape[1:],
+                                 batch.values.dtype)
+                return (jnp.concatenate([batch.times, pad]),
+                        jnp.concatenate([batch.values, vpad]),
                         jnp.arange(n_pad) < n)
 
             ts, vs, valid = jax.vmap(epoch_data)(jnp.arange(E))
