@@ -533,11 +533,14 @@ def pack_minibatches(times, values, valid, batch_size: int):
     if B % batch_size:
         raise ValueError(f"train kernel: rows {B} not a multiple of the "
                          f"minibatch size {batch_size}")
-    scal = jnp.zeros((B, LANES), jnp.float32)
-    scal = scal.at[:, :N].set(values[..., 0].astype(jnp.float32))
-    scal = scal.at[:, N:2 * N].set(times.astype(jnp.float32))
-    scal = scal.at[:, 2 * N].set(valid.astype(jnp.float32))
-    return scal
+    # ONE lane-axis concatenate, not .at[].set scatters into zeros — the
+    # latter lower to per-field dynamic-update-slices that were the
+    # largest ops left in the fused datagen program (BENCH_NOTES r3c)
+    return jnp.concatenate(
+        [values[..., 0].astype(jnp.float32),
+         times.astype(jnp.float32),
+         valid.astype(jnp.float32)[:, None],
+         jnp.zeros((B, LANES - 2 * N - 1), jnp.float32)], axis=1)
 
 
 def fused_train_run(state, data, *, n_slots: int, num_moments: int,
