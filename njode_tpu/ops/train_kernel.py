@@ -48,6 +48,7 @@ parameter updates.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,23 @@ from .fused_step import (LANES, N_VEC, MAT_J2, MAT_O1, MAT_W1H, MAT_W2,
                          unpack_params)
 
 ROW_BO2 = ROW_O2 + 1      # readout bias, stored as a uniform lane-wide row
+
+# Dual-pack layout: for hidden_dim <= BLOCK and K == 2 moments, BOTH
+# networks live block-diagonally in ONE set of (4, LANES, LANES) weight
+# planes — network 0 in lanes [0, BLOCK), network 1 in [BLOCK, LANES).
+# Every matmul then advances both networks at once (the off-diagonal
+# weight blocks are zero, so each network's lanes only ever read its own
+# block), cutting the per-step matmul count from 28 to 12 and removing
+# the k=0 rematerialization forward entirely.  Gradients from the
+# slot-batched outer products DO have nonzero off-diagonal blocks
+# (net-0 activations x net-1 cotangents); they are masked to the block
+# diagonal before Adam so the train state stays exactly block-diagonal.
+BLOCK = LANES // 2
+
+
+def _dual_pack_eligible(num_moments: int, hidden_dim: int) -> bool:
+    return (num_moments == 2 and hidden_dim <= BLOCK
+            and _os.environ.get("NJODE_TRAIN_KERNEL_DUAL", "1") != "0")
 
 
 def train_kernel_available(shared_network, input_dim, output_dim,
@@ -382,6 +400,283 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
         statout_ref[:] = sstat[:]
 
 
+def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
+                       vv0_ref, stat0_ref,
+                       loss_ref, wout_ref, vout_ref, mwout_ref, vwout_ref,
+                       mvout_ref, vvout_ref, statout_ref,
+                       sW, sV, smW, svW, smV, svV, sdV, sstat,
+                       *, N: int, act: str, scale: str,
+                       lr: float, wd: float, b1: float, b2: float,
+                       eps_adam: float, eps_loss: float,
+                       w0m: float, w1m: float, variance_method: str):
+    """Dual-pack variant of :func:`_train_kernel`: K = 2 networks
+    block-diagonal in one (4, LANES, LANES) weight set (see BLOCK above).
+    One slot-batched forward + one backward walk trains both moments."""
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        sW[:] = w0_ref[:]
+        sV[:] = v0_ref[:]
+        smW[:] = mw0_ref[:]
+        svW[:] = vw0_ref[:]
+        smV[:] = mv0_ref[:]
+        svV[:] = vv0_ref[:]
+        sstat[:] = stat0_ref[:]
+
+    scal = data_ref[:]                                   # (RT, LANES) f32
+    RT = scal.shape[0]
+    Hp = v0_ref.shape[-1]
+    A = _ACT[act]
+    AG = _ACT_GRAD[act]
+    SC = _SCALE[scale]
+    SG = _SCALE_GRAD[scale]
+    S = N - 1
+    inv_blk = 1.0 / float(BLOCK)
+
+    def mm(a, w):
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    def mmT(a, w):                                       # a @ w.T, no copy
+        return lax.dot_general(a, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def outer(a, g):                                     # a.T @ g
+        return lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def colsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def wide(col):                                       # (rows, 1) -> (rows, Hp)
+        return jnp.broadcast_to(col, (col.shape[0], Hp))
+
+    def lane_lt(rows, c):                                # lanes < c mask
+        return lax.broadcasted_iota(jnp.int32, (rows, Hp), 1) < c
+
+    # block masks: m0/m1 (1, Hp) f32 rows, diag (Hp, Hp) f32 block-diagonal
+    blk_row = lane_lt(1, BLOCK)
+    m0 = jnp.where(blk_row, 1.0, 0.0)
+    m1 = 1.0 - m0
+    rlt = lax.broadcasted_iota(jnp.int32, (Hp, Hp), 0) < BLOCK
+    clt = lax.broadcasted_iota(jnp.int32, (Hp, Hp), 1) < BLOCK
+    diag = jnp.where(rlt == clt, 1.0, 0.0)
+
+    xs = [wide(scal[:, s:s + 1]) for s in range(N)]
+    ts = [wide(scal[:, N + s:N + s + 1]) for s in range(N)]
+    validc = scal[:, 2 * N:2 * N + 1]                    # (RT, 1) 0/1
+
+    c1 = sstat[0:1, :] * b1                              # (1, LANES)
+    c2 = sstat[1:2, :] * b2
+    sstat[0:1, :] = c1
+    sstat[1:2, :] = c2
+
+    # ---------------- ONE forward for both networks ----------------
+    j1 = sV[ROW_J1:ROW_J1 + 1]
+    bj1 = sV[ROW_BJ1:ROW_BJ1 + 1]
+    bj2 = sV[ROW_BJ2:ROW_BJ2 + 1]
+    w1x = sV[ROW_W1X:ROW_W1X + 1]
+    w1t = sV[ROW_W1T:ROW_W1T + 1]
+    w1d = sV[ROW_W1D:ROW_W1D + 1]
+    b1r = sV[ROW_B1:ROW_B1 + 1]
+    b2r = sV[ROW_B2:ROW_B2 + 1]
+    bo1 = sV[ROW_BO1:ROW_BO1 + 1]
+    o2 = sV[ROW_O2:ROW_O2 + 1]
+    bo2r = sV[ROW_BO2:ROW_BO2 + 1]                       # block-uniform row
+    J2 = sW[MAT_J2]
+    O1 = sW[MAT_O1]
+    W1h = sW[MAT_W1H]
+    W2 = sW[MAT_W2]
+
+    X = jnp.concatenate(xs, axis=0)                      # (N·RT, Hp)
+    A1_pre = X * j1 + bj1
+    A1 = A(A1_pre)
+    HJ_pre = mm(A1, J2) + bj2
+    HJ = A(HJ_pre)
+    HJg = HJ[:S * RT]
+    XT = X[:S * RT]
+    T0 = jnp.concatenate(ts[:S], axis=0)
+    DT = jnp.concatenate([ts[s + 1] - ts[s] for s in range(S)], axis=0)
+    X_sc = SC(XT)
+    HJ_sc = SC(HJg)
+    BASE = X_sc * w1x + T0 * w1t + DT * w1d + b1r
+    G1_pre = mm(HJ_sc, W1h) + BASE
+    G1 = A(G1_pre)
+    DH = mm(G1, W2) + b2r
+    HM = HJg + DT * DH
+    IN_O1 = jnp.concatenate([HJ, HM], axis=0)            # ((2N-1)·RT, Hp)
+    U_pre = mm(IN_O1, O1) + bo1
+    U = A(U_pre)
+
+    # per-network readouts: masked lane reductions over each block
+    # (the other block's terms are exactly zero after masking, so each
+    # sum equals the classic kernel's single-network reduction)
+    P = U * o2                                           # ((2N-1)·RT, Hp)
+    blkP = lane_lt(P.shape[0], BLOCK)
+    bo2_0 = jnp.sum(bo2r * m0, axis=1, keepdims=True) * inv_blk   # (1, 1)
+    bo2_1 = jnp.sum(bo2r * m1, axis=1, keepdims=True) * inv_blk
+    Y0 = jnp.sum(jnp.where(blkP, P, 0.0), axis=1, keepdims=True) + bo2_0
+    Y1 = jnp.sum(jnp.where(blkP, 0.0, P), axis=1, keepdims=True) + bo2_1
+
+    # lane matrices: column s = slot s (before-jump column 0 stays 0)
+    col_iota = lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
+
+    def lane_mats(Y):
+        Am = jnp.zeros((RT, LANES), jnp.float32)
+        Bm = jnp.zeros((RT, LANES), jnp.float32)
+        for s in range(N):
+            Am = jnp.where(col_iota == s, Y[s * RT:(s + 1) * RT], Am)
+        for g in range(S):
+            Bm = jnp.where(col_iota == g + 1,
+                           Y[(N + g) * RT:(N + g + 1) * RT], Bm)
+        return Am, Bm
+
+    A0m, B0m = lane_mats(Y0)
+    A1m, B1m = lane_mats(Y1)
+
+    # ---------------- closed-form loss + lane cotangents ----------------
+    lane_n = col_iota < N
+    lane_cont = (col_iota < N) & (col_iota > 0)          # slot 0 continuity
+    xm = jnp.where(lane_n, scal, 0.0)
+
+    aj = jnp.where(lane_n, (xm - A0m) ** 2, 0.0)
+    ac = jnp.where(lane_cont, (xm - B0m) ** 2, 0.0)
+    SA = jnp.sqrt(aj + eps_loss)
+    SCt = jnp.sqrt(ac + eps_loss)
+    T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
+
+    if variance_method == "direct":
+        V = A1m ** 2
+        Vb = B1m ** 2
+        Z = aj
+        Zb = ac
+    else:                                                # second_moment
+        V = A1m
+        Vb = B1m
+        Z = xm ** 2
+        Zb = Z
+    avj = jnp.where(lane_n, (Z - V) ** 2, 0.0)
+    avc = jnp.where(lane_cont, (Zb - Vb) ** 2, 0.0)
+    SVA = jnp.sqrt(avj + eps_loss)
+    SVC = jnp.sqrt(avc + eps_loss)
+    T1m = jnp.where(lane_n, (SVA + SVC) ** 2, 0.0)
+
+    inv_n = 1.0 / float(N)
+    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
+    L1 = jnp.sum(T1m, axis=1, keepdims=True) * inv_n
+    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)
+    Ltraj = (w0m * L0 + w1m * L1) * validc
+    L = jnp.sum(Ltraj, keepdims=True) / NV               # (1, 1)
+    L_row = jnp.broadcast_to(L, (1, LANES))
+    loss_ref[:] = jnp.broadcast_to(L_row[None], loss_ref.shape)
+
+    wrow = validc / NV                                   # (RT, 1)
+    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
+    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
+    if variance_method == "direct":
+        dV_dA1 = 2.0 * A1m
+        dVb_dB1 = 2.0 * B1m
+    else:
+        dV_dA1 = 1.0
+        dVb_dB1 = 1.0
+    gA1 = jnp.where(lane_n, wrow * (w1m * inv_n)
+                    * ((SVA + SVC) / SVA) * 2.0 * (V - Z) * dV_dA1, 0.0)
+    gB1 = jnp.where(lane_cont, wrow * (w1m * inv_n)
+                    * ((SVA + SVC) / SVC) * 2.0 * (Vb - Zb) * dVb_dB1, 0.0)
+
+    # ---------------- ONE backward walk for both networks ----------------
+    # GY row-block for slot s: net-0's cotangent broadcast over block-0
+    # lanes, net-1's over block-1 lanes.
+    blkRT = lane_lt(RT, BLOCK)
+    GY = jnp.concatenate(
+        [jnp.where(blkRT, wide(gA0[:, s:s + 1]), wide(gA1[:, s:s + 1]))
+         for s in range(N)]
+        + [jnp.where(blkRT, wide(gB0[:, g + 1:g + 2]),
+                     wide(gB1[:, g + 1:g + 2])) for g in range(S)], axis=0)
+
+    dU_pre = (GY * o2) * AG(U_pre)
+    do2 = colsum(U * GY)
+    dO1 = diag * outer(IN_O1, dU_pre)
+    dbo1 = colsum(dU_pre)
+    # per-network bo2 grads: each block holds BLOCK identical copies of
+    # the row cotangent, so the masked lane sum / BLOCK is the scalar
+    gy_row0 = jnp.sum(jnp.where(blkP, GY, 0.0), axis=1,
+                      keepdims=True) * inv_blk           # (rows, 1)
+    gy_row1 = jnp.sum(jnp.where(blkP, 0.0, GY), axis=1,
+                      keepdims=True) * inv_blk
+    dbo2_0 = jnp.sum(gy_row0, keepdims=True)             # (1, 1)
+    dbo2_1 = jnp.sum(gy_row1, keepdims=True)
+    dIN = mmT(dU_pre, O1)
+    dHJ = dIN[:N * RT]
+
+    dHM = dIN[N * RT:]
+    dDH = DT * dHM
+    dW2 = diag * outer(G1, dDH)
+    db2 = colsum(dDH)
+    dG1_pre = mmT(dDH, W2) * AG(G1_pre)
+    dW1h = diag * outer(HJ_sc, dG1_pre)
+    dw1x = colsum(X_sc * dG1_pre)
+    dw1t = colsum(T0 * dG1_pre)
+    dw1d = colsum(DT * dG1_pre)
+    db1 = colsum(dG1_pre)
+    dHJg = dHM + mmT(dG1_pre, W1h) * SG(HJg)
+    pad = jnp.zeros((RT, Hp), jnp.float32)
+    dHJ = dHJ + jnp.concatenate([dHJg, pad], axis=0)
+
+    dHJ_pre = dHJ * AG(HJ_pre)
+    dJ2 = diag * outer(A1, dHJ_pre)
+    dbj2 = colsum(dHJ_pre)
+    dA1_pre = mmT(dHJ_pre, J2) * AG(A1_pre)
+    dj1 = colsum(X * dA1_pre)
+    dbj1 = colsum(dA1_pre)
+
+    # ---------------- in-VMEM Adam (matrices in place, V via sdV) --------
+    def adam_step(p, m, v, g):
+        g = g + wd * p
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        m_hat = m / (1.0 - c1)
+        v_hat = v / (1.0 - c2)
+        return p - lr * m_hat / (jnp.sqrt(v_hat) + eps_adam), m, v
+
+    for mat, g in ((MAT_J2, dJ2), (MAT_O1, dO1), (MAT_W1H, dW1h),
+                   (MAT_W2, dW2)):
+        p, m, v = adam_step(sW[mat], smW[mat], svW[mat], g)
+        sW[mat] = p
+        smW[mat] = m
+        svW[mat] = v
+
+    sdV[:] = jnp.zeros_like(sdV)
+    sdV[ROW_J1:ROW_J1 + 1] = dj1
+    sdV[ROW_BJ1:ROW_BJ1 + 1] = dbj1
+    sdV[ROW_BJ2:ROW_BJ2 + 1] = dbj2
+    sdV[ROW_W1X:ROW_W1X + 1] = dw1x
+    sdV[ROW_W1T:ROW_W1T + 1] = dw1t
+    sdV[ROW_W1D:ROW_W1D + 1] = dw1d
+    sdV[ROW_B1:ROW_B1 + 1] = db1
+    sdV[ROW_B2:ROW_B2 + 1] = db2
+    sdV[ROW_BO1:ROW_BO1 + 1] = dbo1
+    sdV[ROW_O2:ROW_O2 + 1] = do2
+    sdV[ROW_BO2:ROW_BO2 + 1] = m0 * dbo2_0 + m1 * dbo2_1
+    p, m, v = adam_step(sV[:], smV[:], svV[:], sdV[:])
+    sV[:] = p
+    smV[:] = m
+    svV[:] = v
+
+    @pl.when(r == n_r - 1)
+    def _():
+        wout_ref[:] = sW[:]
+        vout_ref[:] = sV[:]
+        mwout_ref[:] = smW[:]
+        vwout_ref[:] = svW[:]
+        mvout_ref[:] = smV[:]
+        vvout_ref[:] = svV[:]
+        statout_ref[:] = sstat[:]
+
+
 # --------------------------------------------------------------------------
 # host-side plumbing
 # --------------------------------------------------------------------------
@@ -437,16 +732,98 @@ def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _make_train_core_dual(N: int, Hp: int, RT: int, act: str, scale: str,
+                          lr: float, wd: float, b1: float, b2: float,
+                          eps_adam: float, eps_loss: float, w0m: float,
+                          w1m: float, variance_method: str, interpret: bool):
+    def call(data, W, V, mW, vW, mV, vV, stat):
+        G = data.shape[0] // RT
+
+        def row(d, rt):
+            return pl.BlockSpec((rt, d), lambda r: (r, 0),
+                                memory_space=pltpu.VMEM)
+
+        loss_spec = pl.BlockSpec((1, 8, LANES), lambda r: (r, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        full = lambda s: pl.BlockSpec(s, lambda r: tuple(0 for _ in s),
+                                      memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(
+                _train_kernel_dual, N=N, act=act, scale=scale, lr=lr, wd=wd,
+                b1=b1, b2=b2, eps_adam=eps_adam, eps_loss=eps_loss, w0m=w0m,
+                w1m=w1m, variance_method=variance_method),
+            grid=(G,),
+            in_specs=[row(LANES, RT), full((4, Hp, Hp)),
+                      full((N_VEC, Hp)), full((4, Hp, Hp)),
+                      full((4, Hp, Hp)), full((N_VEC, Hp)),
+                      full((N_VEC, Hp)), full((8, LANES))],
+            out_specs=[loss_spec, full((4, Hp, Hp)),
+                       full((N_VEC, Hp)), full((4, Hp, Hp)),
+                       full((4, Hp, Hp)), full((N_VEC, Hp)),
+                       full((N_VEC, Hp)), full((8, LANES))],
+            out_shape=[jax.ShapeDtypeStruct((G, 8, LANES), jnp.float32),
+                       jax.ShapeDtypeStruct((4, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((N_VEC, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((4, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((4, Hp, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((N_VEC, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((N_VEC, Hp), jnp.float32),
+                       jax.ShapeDtypeStruct((8, LANES), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((4, Hp, Hp), jnp.float32),
+                            pltpu.VMEM((N_VEC, Hp), jnp.float32),
+                            pltpu.VMEM((4, Hp, Hp), jnp.float32),
+                            pltpu.VMEM((4, Hp, Hp), jnp.float32),
+                            pltpu.VMEM((N_VEC, Hp), jnp.float32),
+                            pltpu.VMEM((N_VEC, Hp), jnp.float32),
+                            pltpu.VMEM((N_VEC, Hp), jnp.float32),
+                            pltpu.VMEM((8, LANES), jnp.float32)],
+            interpret=interpret,
+        )(data, W, V, mW, vW, mV, vV, stat)
+    return call
+
+
+def _dual_from_classic(W, V, bo2):
+    """Classic per-network pack (K=2, 4, Hp, Hp)/(K=2, N_VEC, Hp)/bo2 (2,)
+    -> the block-diagonal dual layout (4, Hp, Hp)/(N_VEC, Hp) with bo2
+    folded block-uniform into ROW_BO2."""
+    Hp = W.shape[-1]
+    Wd = jnp.zeros((4, Hp, Hp), jnp.float32)
+    Wd = Wd.at[:, :BLOCK, :BLOCK].set(W[0, :, :BLOCK, :BLOCK])
+    Wd = Wd.at[:, BLOCK:, BLOCK:].set(W[1, :, :BLOCK, :BLOCK])
+    Vd = jnp.concatenate([V[0, :, :BLOCK], V[1, :, :BLOCK]], axis=1)
+    bo2row = jnp.concatenate([jnp.broadcast_to(bo2[0], (BLOCK,)),
+                              jnp.broadcast_to(bo2[1], (BLOCK,))])
+    return Wd, Vd.at[ROW_BO2].set(bo2row)
+
+
+def _classic_from_dual(Wd, Vd):
+    """Inverse of :func:`_dual_from_classic` (zero padding restored)."""
+    Hp = Wd.shape[-1]
+    pad_m = lambda w: jnp.pad(w, ((0, 0), (0, Hp - BLOCK), (0, Hp - BLOCK)))
+    pad_v = lambda v: jnp.pad(v, ((0, 0), (0, Hp - BLOCK)))
+    W = jnp.stack([pad_m(Wd[:, :BLOCK, :BLOCK]),
+                   pad_m(Wd[:, BLOCK:, BLOCK:])])
+    V = jnp.stack([pad_v(Vd[:, :BLOCK]), pad_v(Vd[:, BLOCK:])])
+    bo2 = jnp.stack([Vd[ROW_BO2, 0], Vd[ROW_BO2, BLOCK]])
+    return W, V, bo2
+
+
 def init_train_state(params, *, num_moments: int, hidden_dim: int):
     """Model pytree -> the kernel's train state
     ``(W, V, mW, vW, mV, vV, stat)`` with bo2 folded into V's ROW_BO2 row
     (uniform lanes) and zeroed Adam moments; stat = [b1^t, b2^t] powers
-    starting at 1 (fresh optimizer)."""
+    starting at 1 (fresh optimizer).  For hidden_dim <= BLOCK the state
+    uses the block-diagonal dual-pack layout (both networks in one weight
+    set — see BLOCK); consumers detect the layout by W's rank."""
     W, V, bo2 = pack_params(params, num_moments=num_moments,
                             hidden_dim=hidden_dim)
     Hp = W.shape[-1]
-    V = V.at[:, ROW_BO2, :].set(
-        jnp.broadcast_to(bo2[:, None], (num_moments, Hp)))
+    if _dual_pack_eligible(num_moments, hidden_dim):
+        W, V = _dual_from_classic(W, V, bo2)
+    else:
+        V = V.at[:, ROW_BO2, :].set(
+            jnp.broadcast_to(bo2[:, None], (num_moments, Hp)))
     zW = jnp.zeros_like(W)
     zV = jnp.zeros_like(V)
     # rows 0/1 hold the Adam bias-correction powers b1^t, b2^t as
@@ -458,7 +835,10 @@ def init_train_state(params, *, num_moments: int, hidden_dim: int):
 def train_state_params(state, *, num_moments: int, hidden_dim: int):
     """Extract the model pytree back out of a kernel train state."""
     W, V = state[0], state[1]
-    bo2 = V[:, ROW_BO2, 0]
+    if W.ndim == 3:                                      # dual-pack layout
+        W, V, bo2 = _classic_from_dual(W, V)
+    else:
+        bo2 = V[:, ROW_BO2, 0]
     return unpack_params(W, V, bo2, num_moments=num_moments,
                          hidden_dim=hidden_dim)
 
@@ -485,9 +865,12 @@ def kernel_state_from(params, opt_state, *, num_moments: int,
     """
     _, adam = _find_adam_state(opt_state)
     kw = dict(num_moments=num_moments, hidden_dim=hidden_dim)
+    dual = _dual_pack_eligible(num_moments, hidden_dim)
 
     def pack_with_bo2(tree):
         W, V, bo2 = pack_params(tree, **kw)
+        if dual:
+            return _dual_from_classic(W, V, bo2)
         Hp = W.shape[-1]
         return W, V.at[:, ROW_BO2, :].set(
             jnp.broadcast_to(bo2[:, None], (num_moments, Hp)))
@@ -511,6 +894,8 @@ def optax_state_into(state, n_steps: int, opt_state, *, num_moments: int,
     W, V, mW, vW, mV, vV, _ = state
 
     def unpack_with_bo2(Wt, Vt):
+        if Wt.ndim == 3:                                 # dual-pack layout
+            return unpack_params(*_classic_from_dual(Wt, Vt), **kw)
         return unpack_params(Wt, Vt, Vt[:, ROW_BO2, 0], **kw)
 
     params = unpack_with_bo2(W, V)
@@ -573,13 +958,21 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
         raise ValueError("train kernel: data rows must be a whole number "
                          "of minibatches")
     Hp = state[0].shape[-1]
-    core = _make_train_core(n_slots, num_moments, Hp, batch_size, activation,
-                            input_scaling, float(lr), float(weight_decay),
-                            float(betas[0]), float(betas[1]),
-                            float(adam_eps), float(eps),
-                            float(moment_weights[0]),
-                            float(moment_weights[1]), variance_method,
-                            interpret)
+    if state[0].ndim == 3:                               # dual-pack layout
+        core = _make_train_core_dual(
+            n_slots, Hp, batch_size, activation, input_scaling, float(lr),
+            float(weight_decay), float(betas[0]), float(betas[1]),
+            float(adam_eps), float(eps), float(moment_weights[0]),
+            float(moment_weights[1]), variance_method, interpret)
+    else:
+        core = _make_train_core(
+            n_slots, num_moments, Hp, batch_size, activation,
+            input_scaling, float(lr), float(weight_decay),
+            float(betas[0]), float(betas[1]),
+            float(adam_eps), float(eps),
+            float(moment_weights[0]),
+            float(moment_weights[1]), variance_method,
+            interpret)
     out = core(data, *state)
     losses = out[0][:, 0, 0]
     return tuple(out[1:]), losses

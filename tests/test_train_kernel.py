@@ -372,3 +372,53 @@ def test_availability_gating():
                                       "identity", 0.01)   # substep loop
     assert not train_kernel_available(False, 1, 1, 1, "relu", 0.3,
                                       "identity", None)   # dropout
+
+
+def test_dual_pack_matches_classic(monkeypatch):
+    """The block-diagonal dual-pack layout (hidden <= BLOCK, K = 2: both
+    networks in ONE weight set, see train_kernel.BLOCK) must reproduce the
+    classic per-network kernel step-for-step, and its weight planes must
+    stay EXACTLY block-diagonal (off-diagonal gradient mass is masked
+    before Adam — any leak would couple the two moment networks)."""
+    from njode_tpu.ops import train_kernel as tk
+
+    G, lr, wd = 3, 1e-3, 5e-4
+    times, values = _data(G * BS, seed=3)
+    valid = jnp.ones((G * BS,), bool).at[-3:].set(False)
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(9))
+    data = pack_minibatches(times, values, valid, BS)
+    kw = dict(n_slots=N, num_moments=2, batch_size=BS, lr=lr,
+              weight_decay=wd, interpret=True)
+
+    monkeypatch.setenv("NJODE_TRAIN_KERNEL_DUAL", "0")
+    st_c = init_train_state(params, num_moments=2, hidden_dim=H)
+    assert st_c[0].ndim == 4                             # classic layout
+    st_c, l_c = fused_train_run(st_c, data, **kw)
+    p_c = train_state_params(st_c, num_moments=2, hidden_dim=H)
+
+    monkeypatch.setenv("NJODE_TRAIN_KERNEL_DUAL", "1")
+    st_d = init_train_state(params, num_moments=2, hidden_dim=H)
+    assert st_d[0].ndim == 3                             # dual layout
+    st_d, l_d = fused_train_run(st_d, data, **kw)
+    p_d = train_state_params(st_d, num_moments=2, hidden_dim=H)
+
+    np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_c), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_c),
+                    jax.tree_util.tree_leaves(p_d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-8)
+    for t in st_d[:6]:                                   # W,V + Adam moments
+        if t.ndim == 3:                                  # matrix planes
+            W = np.asarray(t)
+            assert (W[:, :tk.BLOCK, tk.BLOCK:] == 0).all()
+            assert (W[:, tk.BLOCK:, :tk.BLOCK] == 0).all()
+
+
+def test_dual_pack_eligibility():
+    from njode_tpu.ops.train_kernel import BLOCK, _dual_pack_eligible
+    assert _dual_pack_eligible(2, BLOCK)
+    assert _dual_pack_eligible(2, 32)
+    assert not _dual_pack_eligible(2, BLOCK + 1)         # needs two blocks
+    assert not _dual_pack_eligible(3, 32)                # K = 2 only
