@@ -112,7 +112,8 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                   *, N: int, K: int, act: str, scale: str,
                   lr: float, wd: float, b1: float, b2: float,
                   eps_adam: float, eps_loss: float,
-                  w0m: float, w1m: float, variance_method: str):
+                  w0m: float, w1m: float, variance_method: str,
+                  mxu: str = "float32"):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
 
@@ -135,15 +136,22 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     SG = _SCALE_GRAD[scale]
     S = N - 1
 
+    # mxu='bfloat16' rounds MATMUL INPUTS only (f32 accumulation via
+    # preferred_element_type; weights, activations, loss, Adam state all
+    # stay f32): the MXU runs bf16 operands ~4x faster than f32.
+    cast = ((lambda x: x.astype(jnp.bfloat16)) if mxu == "bfloat16"
+            else (lambda x: x))
+
     def mm(a, w):
-        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+        return jnp.dot(cast(a), cast(w),
+                       preferred_element_type=jnp.float32)
 
     def mmT(a, w):                                       # a @ w.T, no copy
-        return lax.dot_general(a, w, (((1,), (1,)), ((), ())),
+        return lax.dot_general(cast(a), cast(w), (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     def outer(a, g):                                     # a.T @ g
-        return lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+        return lax.dot_general(cast(a), cast(g), (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     def colsum(x):
@@ -408,7 +416,8 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                        *, N: int, act: str, scale: str,
                        lr: float, wd: float, b1: float, b2: float,
                        eps_adam: float, eps_loss: float,
-                       w0m: float, w1m: float, variance_method: str):
+                       w0m: float, w1m: float, variance_method: str,
+                       mxu: str = "float32"):
     """Dual-pack variant of :func:`_train_kernel`: K = 2 networks
     block-diagonal in one (4, LANES, LANES) weight set (see BLOCK above).
     One slot-batched forward + one backward walk trains both moments."""
@@ -435,15 +444,20 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     S = N - 1
     inv_blk = 1.0 / float(BLOCK)
 
+    # see the classic kernel's note: bf16 rounds matmul INPUTS only
+    cast = ((lambda x: x.astype(jnp.bfloat16)) if mxu == "bfloat16"
+            else (lambda x: x))
+
     def mm(a, w):
-        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+        return jnp.dot(cast(a), cast(w),
+                       preferred_element_type=jnp.float32)
 
     def mmT(a, w):                                       # a @ w.T, no copy
-        return lax.dot_general(a, w, (((1,), (1,)), ((), ())),
+        return lax.dot_general(cast(a), cast(w), (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     def outer(a, g):                                     # a.T @ g
-        return lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+        return lax.dot_general(cast(a), cast(g), (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     def colsum(x):
@@ -685,7 +699,8 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
 def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
                      lr: float, wd: float, b1: float, b2: float,
                      eps_adam: float, eps_loss: float, w0m: float,
-                     w1m: float, variance_method: str, interpret: bool):
+                     w1m: float, variance_method: str, interpret: bool,
+                     mxu: str = "float32"):
     def call(data, W, V, mW, vW, mV, vV, stat):
         G = data.shape[0] // RT
 
@@ -701,7 +716,7 @@ def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
             functools.partial(
                 _train_kernel, N=N, K=K, act=act, scale=scale, lr=lr, wd=wd,
                 b1=b1, b2=b2, eps_adam=eps_adam, eps_loss=eps_loss, w0m=w0m,
-                w1m=w1m, variance_method=variance_method),
+                w1m=w1m, variance_method=variance_method, mxu=mxu),
             grid=(G,),
             in_specs=[row(LANES, RT), full((K, 4, Hp, Hp)),
                       full((K, N_VEC, Hp)), full((K, 4, Hp, Hp)),
@@ -736,7 +751,8 @@ def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
 def _make_train_core_dual(N: int, Hp: int, RT: int, act: str, scale: str,
                           lr: float, wd: float, b1: float, b2: float,
                           eps_adam: float, eps_loss: float, w0m: float,
-                          w1m: float, variance_method: str, interpret: bool):
+                          w1m: float, variance_method: str, interpret: bool,
+                          mxu: str = "float32"):
     def call(data, W, V, mW, vW, mV, vV, stat):
         G = data.shape[0] // RT
 
@@ -752,7 +768,7 @@ def _make_train_core_dual(N: int, Hp: int, RT: int, act: str, scale: str,
             functools.partial(
                 _train_kernel_dual, N=N, act=act, scale=scale, lr=lr, wd=wd,
                 b1=b1, b2=b2, eps_adam=eps_adam, eps_loss=eps_loss, w0m=w0m,
-                w1m=w1m, variance_method=variance_method),
+                w1m=w1m, variance_method=variance_method, mxu=mxu),
             grid=(G,),
             in_specs=[row(LANES, RT), full((4, Hp, Hp)),
                       full((N_VEC, Hp)), full((4, Hp, Hp)),
@@ -935,16 +951,21 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
                     moment_weights=(1.0, 10.0), eps: float = 1e-10,
                     variance_method: str = "direct",
                     betas=(0.9, 0.999), adam_eps: float = 1e-8,
-                    interpret: bool = False):
+                    interpret: bool = False, mxu_dtype: str = "float32"):
     """Run ``data.shape[0] // batch_size`` fused Adam training steps.
 
     state: from :func:`init_train_state` (or a previous call — resumable,
            including the Adam bias-correction powers).
     data:  (G*batch_size, LANES) minibatch rows from :func:`pack_minibatches`
            (each consecutive ``batch_size`` rows are one minibatch).
+    mxu_dtype: 'bfloat16' rounds matmul INPUTS to bf16 (f32 accumulation;
+           weights/loss/Adam state stay f32) — the MXU runs bf16 operands
+           ~4x faster than f32. Default f32 keeps exact optax parity.
     Returns ``(new_state, losses)`` with losses shaped (G,) — the
     per-minibatch training losses, identical to the XLA trainer's.
     """
+    if mxu_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"train kernel: unknown mxu_dtype {mxu_dtype!r}")
     if num_moments != 2:
         raise ValueError("train kernel: K == 2 moments only")
     if state[0].shape[-1] != LANES:
@@ -963,7 +984,8 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
             n_slots, Hp, batch_size, activation, input_scaling, float(lr),
             float(weight_decay), float(betas[0]), float(betas[1]),
             float(adam_eps), float(eps), float(moment_weights[0]),
-            float(moment_weights[1]), variance_method, interpret)
+            float(moment_weights[1]), variance_method, interpret,
+            mxu_dtype)
     else:
         core = _make_train_core(
             n_slots, num_moments, Hp, batch_size, activation,
@@ -972,7 +994,7 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
             float(adam_eps), float(eps),
             float(moment_weights[0]),
             float(moment_weights[1]), variance_method,
-            interpret)
+            interpret, mxu_dtype)
     out = core(data, *state)
     losses = out[0][:, 0, 0]
     return tuple(out[1:]), losses

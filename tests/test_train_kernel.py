@@ -422,3 +422,33 @@ def test_dual_pack_eligibility():
     assert _dual_pack_eligible(2, 32)
     assert not _dual_pack_eligible(2, BLOCK + 1)         # needs two blocks
     assert not _dual_pack_eligible(3, 32)                # K = 2 only
+
+
+def test_mxu_bf16_close_to_f32():
+    """mxu_dtype='bfloat16' rounds matmul inputs only (f32 accumulation,
+    f32 Adam state) — losses and params must track the f32 kernel to bf16
+    input precision.  Measured perf-neutral at one-tile widths
+    (BENCH_NOTES.md 'bf16 MXU inputs'); ships as API surface only."""
+    times, values = _data(2 * BS, seed=11)
+    valid = jnp.ones((2 * BS,), bool)
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(12))
+    data = pack_minibatches(times, values, valid, BS)
+    kw = dict(n_slots=N, num_moments=2, batch_size=BS, lr=1e-3,
+              weight_decay=5e-4, interpret=True)
+    out = {}
+    for mxu in ("float32", "bfloat16"):
+        st = init_train_state(params, num_moments=2, hidden_dim=H)
+        st, losses = fused_train_run(st, data, mxu_dtype=mxu, **kw)
+        out[mxu] = (np.asarray(losses), st)
+    lf, stf = out["float32"]
+    lb, stb = out["bfloat16"]
+    np.testing.assert_allclose(lb, lf, rtol=5e-3)
+    for a, b in zip(stf[:2], stb[:2]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.1, atol=1e-3)
+    with pytest.raises(ValueError, match="mxu_dtype"):
+        fused_train_run(init_train_state(params, num_moments=2,
+                                         hidden_dim=H),
+                        data, mxu_dtype="float16", **kw)
