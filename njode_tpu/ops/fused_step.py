@@ -84,6 +84,7 @@ N_VEC = 16          # padded vector-param rows per moment
 # (min 0.228 ms vs 0.266 for 256/256 at m=128); the backward's larger
 # live set (activations + both weight copies + grad accumulators) wants
 # the smaller tile.  Overridable via NJODE_FUSED_STEP_RT / _RT_BWD.
+import math as _math
 import os as _os
 ROW_TILE = int(_os.environ.get("NJODE_FUSED_STEP_RT", 512))
 ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
@@ -555,7 +556,9 @@ def fused_step_apply_packed(W, V, bo2, times, values, *, num_moments: int,
 
     scal = jnp.zeros((B, LANES), f32)
     scal = scal.at[:, :N].set(x).at[:, N:2 * N].set(times)
-    tile_lcm = max(ROW_TILE, ROW_TILE_BWD)
+    # the row count must be a whole number of tiles for BOTH grids (the
+    # defaults divide each other, but the env overrides need not)
+    tile_lcm = _math.lcm(ROW_TILE, ROW_TILE_BWD)
     Bp = _round_up(max(B, tile_lcm), tile_lcm)
     scal = _pad_rows(scal, Bp)
 

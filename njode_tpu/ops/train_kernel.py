@@ -101,6 +101,97 @@ def train_kernel_available(shared_network, input_dim, output_dim,
 
 
 # --------------------------------------------------------------------------
+# math shared by the classic and dual-pack kernels
+# --------------------------------------------------------------------------
+
+def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
+                         eps_loss: float, w0m: float, w1m: float,
+                         variance_method: str):
+    """Closed-form NJ-ODE loss and its lane-matrix cotangents.
+
+    Inputs are (RT, LANES) lane matrices (column s = observation slot s;
+    A* = after-jump predictions, B* = before-jump, nets 0/1 = mean/var),
+    plus the raw data block ``scal`` (values in columns [0, N)) and the
+    (RT, 1) trajectory-valid column.  Returns ``(L, gA0, gB0, gA1, gB1)``
+    with L the (1, 1) batch loss — the exact reduction order of
+    ``nj_ode_loss_dense`` with ignore_first_continuity (slot-0 continuity
+    masked) and traj-masked mean.  Shared verbatim by both kernels so a
+    loss-semantics change cannot diverge them.
+    """
+    RT = scal.shape[0]
+    col_iota = lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
+    lane_n = col_iota < N
+    lane_cont = (col_iota < N) & (col_iota > 0)          # slot 0 continuity
+    xm = jnp.where(lane_n, scal, 0.0)
+
+    aj = jnp.where(lane_n, (xm - A0m) ** 2, 0.0)
+    ac = jnp.where(lane_cont, (xm - B0m) ** 2, 0.0)
+    SA = jnp.sqrt(aj + eps_loss)
+    SCt = jnp.sqrt(ac + eps_loss)
+    T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
+
+    if variance_method == "direct":
+        V = A1m ** 2
+        Vb = B1m ** 2
+        Z = aj                                           # (x - sg(Y))^2
+        Zb = ac
+    else:                                                # second_moment
+        V = A1m
+        Vb = B1m
+        Z = xm ** 2
+        Zb = Z
+    avj = jnp.where(lane_n, (Z - V) ** 2, 0.0)
+    avc = jnp.where(lane_cont, (Zb - Vb) ** 2, 0.0)
+    SVA = jnp.sqrt(avj + eps_loss)
+    SVC = jnp.sqrt(avc + eps_loss)
+    T1m = jnp.where(lane_n, (SVA + SVC) ** 2, 0.0)
+
+    inv_n = 1.0 / float(N)
+    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
+    L1 = jnp.sum(T1m, axis=1, keepdims=True) * inv_n
+    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
+    Ltraj = (w0m * L0 + w1m * L1) * validc
+    L = jnp.sum(Ltraj, keepdims=True) / NV               # (1, 1)
+
+    wrow = validc / NV                                   # (RT, 1)
+    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
+    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
+    if variance_method == "direct":
+        dV_dA1 = 2.0 * A1m                               # V = W^2
+        dVb_dB1 = 2.0 * B1m
+    else:
+        dV_dA1 = 1.0
+        dVb_dB1 = 1.0
+    gA1 = jnp.where(lane_n, wrow * (w1m * inv_n)
+                    * ((SVA + SVC) / SVA) * 2.0 * (V - Z) * dV_dA1, 0.0)
+    gB1 = jnp.where(lane_cont, wrow * (w1m * inv_n)
+                    * ((SVA + SVC) / SVC) * 2.0 * (Vb - Zb) * dVb_dB1, 0.0)
+    return L, gA0, gB0, gA1, gB1
+
+
+def _adam_math(p, m, v, g, *, c1, c2, lr, wd, b1, b2, eps_adam):
+    """Torch-parity Adam math (make_adam chain: L2-into-grad, biased
+    moments, bias-corrected step).  c1/c2 are the lane-wide b1^t/b2^t
+    power rows.  Returns (p', m', v')."""
+    g = g + wd * p
+    m = b1 * m + (1.0 - b1) * g
+    v = b2 * v + (1.0 - b2) * g * g
+    m_hat = m / (1.0 - c1)
+    v_hat = v / (1.0 - c2)
+    return p - lr * m_hat / (jnp.sqrt(v_hat) + eps_adam), m, v
+
+
+def _write_loss(loss_ref, L):
+    """Broadcast the (1, 1) loss into the (1, 8, LANES) output block —
+    two single-direction broadcasts (Mosaic rejects a combined one); the
+    host reads [:, 0, 0]."""
+    L_row = jnp.broadcast_to(L, (1, LANES))
+    loss_ref[:] = jnp.broadcast_to(L_row[None], loss_ref.shape)
+
+
+# --------------------------------------------------------------------------
 # the kernel
 # --------------------------------------------------------------------------
 
@@ -237,14 +328,8 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                             U_pre=U_pre, U=U)
 
     def adam_step(p, m, v, g):
-        """Torch-parity Adam math (make_adam chain: L2-into-grad, biased
-        moments, bias-corrected step).  Returns (p', m', v')."""
-        g = g + wd * p
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        m_hat = m / (1.0 - c1)
-        v_hat = v / (1.0 - c2)
-        return p - lr * m_hat / (jnp.sqrt(v_hat) + eps_adam), m, v
+        return _adam_math(p, m, v, g, c1=c1, c2=c2, lr=lr, wd=wd,
+                          b1=b1, b2=b2, eps_adam=eps_adam)
 
     def adam_w(k, mat, g):                               # (Hp, Hp) plane
         p, m, v = adam_step(sW[k, mat], smW[k, mat], svW[k, mat], g)
@@ -331,62 +416,10 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     A0m, B0m = fwd(0, keep=False)
     A1m, B1m, res1 = fwd(1, keep=True)
 
-    col_iota = lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
-    lane_n = col_iota < N
-    lane_cont = (col_iota < N) & (col_iota > 0)          # slot 0 continuity
-    xm = jnp.where(lane_n, scal, 0.0)                    # ignored (shipped)
-
-    aj = jnp.where(lane_n, (xm - A0m) ** 2, 0.0)
-    ac = jnp.where(lane_cont, (xm - B0m) ** 2, 0.0)
-    SA = jnp.sqrt(aj + eps_loss)
-    SCt = jnp.sqrt(ac + eps_loss)
-    T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
-
-    if variance_method == "direct":
-        V = A1m ** 2
-        Vb = B1m ** 2
-        Z = aj                                           # (x - sg(Y))^2
-        Zb = ac
-    else:                                                # second_moment
-        V = A1m
-        Vb = B1m
-        Z = xm ** 2
-        Zb = Z
-    avj = jnp.where(lane_n, (Z - V) ** 2, 0.0)
-    avc = jnp.where(lane_cont, (Zb - Vb) ** 2, 0.0)
-    SVA = jnp.sqrt(avj + eps_loss)
-    SVC = jnp.sqrt(avc + eps_loss)
-    T1m = jnp.where(lane_n, (SVA + SVC) ** 2, 0.0)
-
-    inv_n = 1.0 / float(N)
-    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
-    L1 = jnp.sum(T1m, axis=1, keepdims=True) * inv_n
-    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
-    Ltraj = (w0m * L0 + w1m * L1) * validc
-    L = jnp.sum(Ltraj, keepdims=True) / NV               # (1, 1)
-
-    # loss output block is (1, 8, LANES) — the 8-sublane minimum; the
-    # scalar broadcasts lane-wise then sublane-wise (two single-direction
-    # broadcasts: Mosaic rejects a combined one) and the host reads [:, 0, 0]
-    L_row = jnp.broadcast_to(L, (1, LANES))
-    loss_ref[:] = jnp.broadcast_to(L_row[None], loss_ref.shape)
-
-    # ---------------- closed-form cotangents (lane matrices) ----------------
-    wrow = validc / NV                                   # (RT, 1)
-    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
-    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
-    if variance_method == "direct":
-        dV_dA1 = 2.0 * A1m                               # V = W^2
-        dVb_dB1 = 2.0 * B1m
-    else:
-        dV_dA1 = 1.0
-        dVb_dB1 = 1.0
-    gA1 = jnp.where(lane_n, wrow * (w1m * inv_n)
-                    * ((SVA + SVC) / SVA) * 2.0 * (V - Z) * dV_dA1, 0.0)
-    gB1 = jnp.where(lane_cont, wrow * (w1m * inv_n)
-                    * ((SVA + SVC) / SVC) * 2.0 * (Vb - Zb) * dVb_dB1, 0.0)
+    L, gA0, gB0, gA1, gB1 = _loss_and_cotangents(
+        scal, validc, A0m, B0m, A1m, B1m, N=N, eps_loss=eps_loss,
+        w0m=w0m, w1m=w1m, variance_method=variance_method)
+    _write_loss(loss_ref, L)
 
     # ---------------- backwards + in-VMEM Adam (k=1 first: its activations
     # are live; k=0 rematerializes AFTER k=1's update — safe because the
@@ -550,56 +583,10 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     A1m, B1m = lane_mats(Y1)
 
     # ---------------- closed-form loss + lane cotangents ----------------
-    lane_n = col_iota < N
-    lane_cont = (col_iota < N) & (col_iota > 0)          # slot 0 continuity
-    xm = jnp.where(lane_n, scal, 0.0)
-
-    aj = jnp.where(lane_n, (xm - A0m) ** 2, 0.0)
-    ac = jnp.where(lane_cont, (xm - B0m) ** 2, 0.0)
-    SA = jnp.sqrt(aj + eps_loss)
-    SCt = jnp.sqrt(ac + eps_loss)
-    T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
-
-    if variance_method == "direct":
-        V = A1m ** 2
-        Vb = B1m ** 2
-        Z = aj
-        Zb = ac
-    else:                                                # second_moment
-        V = A1m
-        Vb = B1m
-        Z = xm ** 2
-        Zb = Z
-    avj = jnp.where(lane_n, (Z - V) ** 2, 0.0)
-    avc = jnp.where(lane_cont, (Zb - Vb) ** 2, 0.0)
-    SVA = jnp.sqrt(avj + eps_loss)
-    SVC = jnp.sqrt(avc + eps_loss)
-    T1m = jnp.where(lane_n, (SVA + SVC) ** 2, 0.0)
-
-    inv_n = 1.0 / float(N)
-    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
-    L1 = jnp.sum(T1m, axis=1, keepdims=True) * inv_n
-    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)
-    Ltraj = (w0m * L0 + w1m * L1) * validc
-    L = jnp.sum(Ltraj, keepdims=True) / NV               # (1, 1)
-    L_row = jnp.broadcast_to(L, (1, LANES))
-    loss_ref[:] = jnp.broadcast_to(L_row[None], loss_ref.shape)
-
-    wrow = validc / NV                                   # (RT, 1)
-    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
-    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
-    if variance_method == "direct":
-        dV_dA1 = 2.0 * A1m
-        dVb_dB1 = 2.0 * B1m
-    else:
-        dV_dA1 = 1.0
-        dVb_dB1 = 1.0
-    gA1 = jnp.where(lane_n, wrow * (w1m * inv_n)
-                    * ((SVA + SVC) / SVA) * 2.0 * (V - Z) * dV_dA1, 0.0)
-    gB1 = jnp.where(lane_cont, wrow * (w1m * inv_n)
-                    * ((SVA + SVC) / SVC) * 2.0 * (Vb - Zb) * dVb_dB1, 0.0)
+    L, gA0, gB0, gA1, gB1 = _loss_and_cotangents(
+        scal, validc, A0m, B0m, A1m, B1m, N=N, eps_loss=eps_loss,
+        w0m=w0m, w1m=w1m, variance_method=variance_method)
+    _write_loss(loss_ref, L)
 
     # ---------------- ONE backward walk for both networks ----------------
     # GY row-block for slot s: net-0's cotangent broadcast over block-0
@@ -649,12 +636,8 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
 
     # ---------------- in-VMEM Adam (matrices in place, V via sdV) --------
     def adam_step(p, m, v, g):
-        g = g + wd * p
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        m_hat = m / (1.0 - c1)
-        v_hat = v / (1.0 - c2)
-        return p - lr * m_hat / (jnp.sqrt(v_hat) + eps_adam), m, v
+        return _adam_math(p, m, v, g, c1=c1, c2=c2, lr=lr, wd=wd,
+                          b1=b1, b2=b2, eps_adam=eps_adam)
 
     for mat, g in ((MAT_J2, dJ2), (MAT_O1, dO1), (MAT_W1H, dW1h),
                    (MAT_W2, dW2)):

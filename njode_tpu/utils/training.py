@@ -59,7 +59,13 @@ def make_adam(learning_rate: float, weight_decay: float = 0.0
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.scale_by_adam())  # b1=0.9, b2=0.999, eps=1e-8, like torch
     parts.append(optax.scale(-learning_rate))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    # tag the chain with its hyperparameters (function objects take
+    # attributes; the namedtuple itself doesn't) so the whole-run kernel
+    # can verify train_kernel_opts against the optimizer it replaces
+    tx.update.njode_hparams = {"lr": float(learning_rate),
+                               "weight_decay": float(weight_decay)}
+    return tx
 
 
 # --------------------------------------------------------------------------
@@ -331,6 +337,18 @@ class Trainer:
         for k in ("lr", "weight_decay"):
             if k not in self.train_kernel_opts:
                 problems.append(f"train_kernel_opts missing {k!r}")
+        # a make_adam chain carries its hyperparameters — catch a kernel
+        # that would silently train with different lr/wd than the optax
+        # state it round-trips through (resume on the XLA path would then
+        # switch hyperparameters mid-run)
+        hp = getattr(self.optimizer.update, "njode_hparams", None)
+        if hp is not None:
+            for k, name in (("lr", "lr"), ("weight_decay", "weight_decay")):
+                want, got = hp[name], self.train_kernel_opts.get(k)
+                if got is not None and float(got) != want:
+                    problems.append(
+                        f"train_kernel_opts[{k!r}]={got} != the "
+                        f"optimizer's {name}={want}")
         if problems:
             raise ValueError("--kernels train not applicable: "
                              + "; ".join(problems))

@@ -329,3 +329,28 @@ def test_padded_rows_and_mask_slots():
     l_ref = nj_ode_loss(times, values, p_ref, pb_ref, mask=mask)
     l_f = nj_ode_loss(times, values, p_f, pb_f, mask=mask)
     np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+
+
+def test_non_divisor_tile_override(monkeypatch):
+    """Env-overridden forward/backward row tiles need not divide each
+    other: the pad target must be a whole number of BOTH (the lcm), or
+    one grid silently skips trailing rows (regression: tile_lcm was
+    computed as max())."""
+    from njode_tpu.ops import fused_step as fs
+    monkeypatch.setattr(fs, "ROW_TILE", 24)
+    monkeypatch.setattr(fs, "ROW_TILE_BWD", 16)   # lcm 48, max 24
+    xla, fused, params = _models()
+    times, values = _batch(30, 4, seed=5)         # > one bwd tile of rows
+
+    def loss(m, p):
+        preds, preds_before = m.apply(p, times, values)
+        return nj_ode_loss(times, values, preds, preds_before)
+
+    l_ref, g_ref = jax.value_and_grad(loss, argnums=1)(xla, params)
+    l_f, g_f = jax.value_and_grad(loss, argnums=1)(fused, params)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               rtol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)

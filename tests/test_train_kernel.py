@@ -374,7 +374,8 @@ def test_availability_gating():
                                       "identity", None)   # dropout
 
 
-def test_dual_pack_matches_classic(monkeypatch):
+@pytest.mark.parametrize("variance_method", ["direct", "second_moment"])
+def test_dual_pack_matches_classic(monkeypatch, variance_method):
     """The block-diagonal dual-pack layout (hidden <= BLOCK, K = 2: both
     networks in ONE weight set, see train_kernel.BLOCK) must reproduce the
     classic per-network kernel step-for-step, and its weight planes must
@@ -390,7 +391,8 @@ def test_dual_pack_matches_classic(monkeypatch):
     params = model.init(jax.random.PRNGKey(9))
     data = pack_minibatches(times, values, valid, BS)
     kw = dict(n_slots=N, num_moments=2, batch_size=BS, lr=lr,
-              weight_decay=wd, interpret=True)
+              weight_decay=wd, interpret=True,
+              variance_method=variance_method)
 
     monkeypatch.setenv("NJODE_TRAIN_KERNEL_DUAL", "0")
     st_c = init_train_state(params, num_moments=2, hidden_dim=H)
@@ -452,3 +454,26 @@ def test_mxu_bf16_close_to_f32():
         fused_train_run(init_train_state(params, num_moments=2,
                                          hidden_dim=H),
                         data, mxu_dtype="float16", **kw)
+
+
+def test_trainer_kernel_check_rejects_hparam_mismatch():
+    """A make_adam chain carries its lr/weight_decay; train_kernel_opts
+    that disagree must fail fast (the kernel would otherwise train with
+    different hyperparameters than the optax state it round-trips
+    through, and a later XLA-path resume would silently switch them)."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    tr = Trainer(model, make_adam(1e-2, 0.0), ignore_first_continuity=True,
+                 use_train_kernel="interpret",
+                 train_kernel_opts=dict(lr=1e-3, weight_decay=5e-4))
+    train_fn, _ = create_data_loaders(
+        process_type="black_scholes", n_train=BS, n_val=4,
+        obs_fraction=N / 100.0, cache_data=True, obs_only=True,
+        mu=0.1, sigma=0.5, x0=1.0)
+    with pytest.raises(ValueError) as ei:
+        tr.train(train_fn, None, n_epochs=1, batch_size=BS)
+    msg = str(ei.value)
+    assert "optimizer's lr" in msg
+    assert "optimizer's weight_decay" in msg
