@@ -135,6 +135,16 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'With --data-parallel/--multihost the seed '
                              'axis shards over the devices (K must be a '
                              'multiple of the device count)')
+    parser.add_argument('--ensemble-lrs', type=str, default=None,
+                        help='Comma-separated per-member learning rates: '
+                             'population training — the members of the ONE '
+                             'vmapped ensemble program differ in optimizer '
+                             'hyperparameters, turning a learning-rate '
+                             'sweep into a single run. Implies --ensemble '
+                             'len(lrs) when --ensemble is unset; otherwise '
+                             'the lengths must match. Members share the '
+                             'data stream (isolates the lr effect); '
+                             '--weight-decay applies to every member')
     parser.add_argument('--obs-only', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='Sample values exactly at the observation times '
@@ -197,9 +207,32 @@ def _resolve_obs_only(choice: str, process_type: str) -> bool:
     return False
 
 
+def _parse_ensemble_lrs(args):
+    """--ensemble-lrs 'a,b,c' -> [a, b, c]; implies --ensemble len(lrs)
+    when unset, must match it otherwise."""
+    raw = getattr(args, "ensemble_lrs", None)
+    if not raw:
+        return None
+    try:
+        lrs = [float(x) for x in raw.split(",") if x.strip()]
+    except ValueError:
+        raise SystemExit(f"--ensemble-lrs: could not parse {raw!r} as "
+                         "comma-separated floats")
+    if len(lrs) < 2:
+        raise SystemExit("--ensemble-lrs needs at least 2 values (a single "
+                         "lr is just --learning-rate)")
+    if args.ensemble and args.ensemble != len(lrs):
+        raise SystemExit(f"--ensemble {args.ensemble} does not match the "
+                         f"{len(lrs)} values of --ensemble-lrs")
+    args.ensemble = len(lrs)
+    args.ensemble_lrs_parsed = lrs
+    return lrs
+
+
 def build_config(args, experiment_name: str, process_type: str,
                  data_params: dict) -> dict:
     """Assemble the nested config dict (reference experiment_*.py:79-113)."""
+    _parse_ensemble_lrs(args)                # may set args.ensemble
     return {
         "experiment_name": getattr(args, "experiment_name", None)
                            or experiment_name,
@@ -235,6 +268,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
         "ensemble": args.ensemble,
+        "ensemble_lrs": getattr(args, "ensemble_lrs_parsed", None),
         "use_pallas": {"off": False, "auto": "auto", "force": True,
                        "step": "step", "train": "train"}[args.kernels],
         "debug_checks": args.debug_checks,

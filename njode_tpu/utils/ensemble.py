@@ -95,6 +95,7 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
                         n_val: int = 0, rel_eval: Optional[dict] = None,
                         start_epoch: int = 0, initial_state=None,
                         chunk_len: Optional[int] = None, on_chunk=None,
+                        member_hparams: Optional[dict] = None,
                         **process_kwargs):
     """Train K ensemble members with first-class evaluation and resume.
 
@@ -123,6 +124,14 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
     ``mesh`` (optional): shard the seed axis over the mesh's 'model' axis
     (see :func:`shard_ensemble`); per-member batches stay unsharded — the
     seed axis IS the parallelism.
+
+    ``member_hparams`` (optional): dict of (K,) arrays of PER-MEMBER
+    optimizer hyperparameters (e.g. ``{"learning_rate": ..,
+    "weight_decay": ..}``) — population training: the K members differ in
+    hyperparameters, not just seed, and still train in the one vmapped
+    program.  Requires an ``optax.inject_hyperparams`` optimizer (see
+    :func:`population_adam`); the values override both a fresh init and a
+    resumed state (the caller's request is authoritative).
     """
     from ..simulation import simulate_batch
 
@@ -140,6 +149,24 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
     else:
         params = init_ensemble(model, n_seeds, seed=seed)
         opt_state = jax.vmap(tx.init)(params)
+    if member_hparams:
+        hp = getattr(opt_state, "hyperparams", None)
+        if hp is None:
+            raise ValueError(
+                "member_hparams requires an optax.inject_hyperparams "
+                "optimizer whose state carries the hyperparameters — use "
+                "population_adam()")
+        upd = {k: jnp.asarray(v, jnp.float32)
+               for k, v in member_hparams.items()}
+        unknown = sorted(set(upd) - set(hp))
+        if unknown:
+            raise ValueError(f"member_hparams keys {unknown} not in the "
+                             f"optimizer's hyperparams {sorted(hp)}")
+        bad = {k: v.shape for k, v in upd.items() if v.shape != (n_seeds,)}
+        if bad:
+            raise ValueError(f"member_hparams must be (n_seeds,) = "
+                             f"({n_seeds},) arrays; got {bad}")
+        opt_state = opt_state._replace(hyperparams={**hp, **upd})
     if mesh is not None:
         params = shard_ensemble(mesh, params)
         opt_state = shard_ensemble(mesh, opt_state)
@@ -230,6 +257,60 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
         lambda *xs: jnp.concatenate(xs, axis=0), *hists) if hists else {
         "train": jnp.zeros((0, n_seeds))}
     return params, opt_state, hist
+
+
+def population_adam(learning_rate: float = 1e-3,
+                    weight_decay: float = 0.0):
+    """:func:`make_adam` with lr/weight_decay carried in the OPTIMIZER
+    STATE (``optax.inject_hyperparams``) instead of baked into the chain,
+    so a vmapped ensemble can give every member its own values (the
+    ``member_hparams`` hook of :func:`train_ensemble_full`).  With scalar
+    state values the update is numerically identical to
+    ``make_adam(learning_rate, weight_decay)`` — ``add_decayed_weights(0)``
+    is exactly the no-decay chain."""
+    def factory(learning_rate, weight_decay=0.0):
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.scale_by_adam(),
+                           optax.scale(-learning_rate))
+    return optax.inject_hyperparams(factory)(
+        learning_rate=learning_rate, weight_decay=weight_decay)
+
+
+def train_population(model: NeuralJumpODE, process_type: str,
+                     learning_rates, n_epochs: int, *,
+                     weight_decays=None, share_data: bool = True,
+                     **kwargs):
+    """Hyperparameter-population training: K models differing in optimizer
+    hyperparameters train in ONE vmapped whole-run program.
+
+    The reference explores hyperparameters with sequential jobs (its SLURM
+    array sweeps architecture only and re-runs the trainer per config); on
+    TPU a learning-rate/weight-decay grid costs one ensemble run — the K
+    members' matmuls fuse exactly like a seed ensemble's, and the
+    hyperparameters enter as (K,) state arrays (``population_adam``), not
+    as K compiled programs.
+
+    ``learning_rates``: (K,) array/list — defines the member count.
+    ``weight_decays``: scalar or (K,) (default 0.0).
+    ``share_data=True`` (default): all members see the SAME data stream,
+    isolating the hyperparameter effect (members still differ in init
+    seed; pass ``seed`` to move the whole population).
+
+    Returns ``(params_stack, opt_state_stack, hist)`` exactly like
+    :func:`train_ensemble_full` — per-member train (and optional val/rel)
+    loss matrices, so the best member is ``argmin`` over the last row.
+    """
+    lr = jnp.asarray(learning_rates, jnp.float32)
+    if lr.ndim != 1:
+        raise ValueError("learning_rates must be one-dimensional")
+    wd = (jnp.zeros_like(lr) if weight_decays is None
+          else jnp.broadcast_to(
+              jnp.asarray(weight_decays, jnp.float32), lr.shape))
+    return train_ensemble_full(
+        model, process_type, n_seeds=int(lr.shape[0]), n_epochs=n_epochs,
+        optimizer=population_adam(), share_data=share_data,
+        member_hparams={"learning_rate": lr, "weight_decay": wd},
+        **kwargs)
 
 
 def train_ensemble(model: NeuralJumpODE, process_type: str, n_seeds: int,

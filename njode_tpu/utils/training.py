@@ -987,11 +987,13 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     }
 
 
-def _ensemble_rel_eval(config: Dict, model, n_seeds: int) -> Optional[Dict]:
+def _ensemble_rel_eval(config: Dict, model, n_seeds: int,
+                       share_data: bool = False) -> Optional[Dict]:
     """Per-member relative-loss eval data: a fixed 10-trajectory subset of
     each member's epoch-0 train stream plus the (constant) true-predictor
     loss, mirroring the single-model ``_setup_relative_loss``
-    (reference utils/training.py:184-196,219-255)."""
+    (reference utils/training.py:184-196,219-255).  ``share_data`` mirrors
+    the training streams: every member evaluates on the SAME subset."""
     data = dict(config["data"])
     process_type = data["process_type"]
     from ..simulation.registry import get_moments_fn
@@ -1004,7 +1006,8 @@ def _ensemble_rel_eval(config: Dict, model, n_seeds: int) -> Optional[Dict]:
                                 "obs_fraction", "cache_data", "obs_only")}
     data_base = jax.random.PRNGKey(config.get("data_seed", 0))
     k0 = jax.random.fold_in(data_base, 0)   # epoch-0 data key (ensemble.py)
-    keys = jax.vmap(lambda s: jax.random.fold_in(k0, s))(jnp.arange(n_seeds))
+    keys = (jnp.broadcast_to(k0, (n_seeds, *k0.shape)) if share_data else
+            jax.vmap(lambda s: jax.random.fold_in(k0, s))(jnp.arange(n_seeds)))
 
     def gen10(k):
         b = simulate_batch(k, data["n_train"], process_type,
@@ -1066,12 +1069,31 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
     print_every = config.get("print_every", 10)
     backend = config.get("checkpoint_backend", "msgpack")
     ckpt_path = str(save_path / "model.ckpt")
-    tx = make_adam(config["learning_rate"], config["weight_decay"])
+    # --ensemble-lrs: population training — members differ in optimizer
+    # hyperparameters, share the data stream (isolates the lr effect)
+    lrs = config.get("ensemble_lrs") or None
+    member_hparams = None
+    if lrs is not None:
+        from .ensemble import population_adam
+        if len(lrs) != n_seeds:
+            raise ValueError(f"ensemble_lrs has {len(lrs)} values for "
+                             f"ensemble={n_seeds}")
+        tx = population_adam()
+        member_hparams = {
+            "learning_rate": jnp.asarray(lrs, jnp.float32),
+            "weight_decay": jnp.full((n_seeds,),
+                                     float(config["weight_decay"]),
+                                     jnp.float32)}
+        print(f"Population training: member learning rates {lrs}")
+    else:
+        tx = make_adam(config["learning_rate"], config["weight_decay"])
+    share_data = lrs is not None
     n_val = int(data.get("n_val", 0) or 0)
 
     rel_eval = None
     try:
-        rel_eval = _ensemble_rel_eval(config, model, n_seeds)
+        rel_eval = _ensemble_rel_eval(config, model, n_seeds,
+                                      share_data=share_data)
     except Exception as e:
         print(f"Warning: relative-loss setup failed: {e}")
 
@@ -1116,6 +1138,8 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
             "member_relative_loss": re,
             "n_ensemble": n_seeds,
         }
+        if lrs is not None:
+            history["ensemble_lrs"] = [float(x) for x in lrs]
         if resumed:
             history["resumed_from_checkpoint"] = True
         return history
@@ -1193,6 +1217,7 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
         variance_method=config.get("variance_method", "direct"),
         extended_moments=config.get("extended_moments", False),
         mesh=mesh, n_val=n_val, rel_eval=rel_eval,
+        share_data=share_data, member_hparams=member_hparams,
         start_epoch=start_epoch, initial_state=initial_state,
         chunk_len=print_every, on_chunk=on_chunk,
         **{k: v for k, v in data.items()

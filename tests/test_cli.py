@@ -136,3 +136,28 @@ def test_ensemble_cli(tmp_path):
     stack = load_params(str(d / "model.ckpt"), init_ensemble(model, 3))
     leaf = jax.tree_util.tree_leaves(stack)[0]
     assert leaf.shape[0] == 3
+
+
+def test_population_cli(tmp_path):
+    """--ensemble-lrs: a learning-rate sweep as ONE vmapped run — implies
+    the member count, records per-member losses + the lr list, resumes."""
+    flags = TINY + ["--ensemble-lrs", "1e-2,1e-3"]
+    r = run_cli("experiment_black_scholes.py", flags, cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    d = tmp_path / "runs" / "njode_black_scholes"
+    history = json.loads((d / "history.json").read_text())
+    assert history["n_ensemble"] == 2
+    assert history["ensemble_lrs"] == [1e-2, 1e-3]
+    m = history["member_train_loss"]
+    assert len(m) == 4 and all(len(row) == 2 for row in m)
+    assert m[-1][0] != m[-1][1]          # the lrs genuinely differed
+    # completed run: a re-invocation resumes and exits without retraining
+    r2 = run_cli("experiment_black_scholes.py", flags, cwd=tmp_path)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "already completed" in r2.stdout
+    # count mismatch fails fast
+    r3 = run_cli("experiment_black_scholes.py",
+                 TINY + ["--ensemble", "3", "--ensemble-lrs", "1e-2,1e-3"],
+                 cwd=tmp_path)
+    assert r3.returncode != 0
+    assert "does not match" in r3.stdout + r3.stderr
