@@ -1228,6 +1228,15 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
     print(f"Trained {n_seeds}-member ensemble x {n_epochs - start_epoch} "
           f"epochs; final member losses "
           f"{[round(x, 4) for x in member_rows['train'][-1]]}")
+    if lrs is not None:
+        # the sweep verdict: best member by final val loss (train loss
+        # when no validation was requested)
+        crit = (member_rows["val"] or member_rows["train"])[-1]
+        best = int(np.argmin(crit))
+        by = "val" if member_rows["val"] else "train"
+        history["best_member"] = best
+        print(f"Population winner: lr={lrs[best]:g} (member {best}, "
+              f"final {by} loss {crit[best]:.6f})")
     save_checkpoint(ckpt_path, params_stack, opt_state, ckpt_histories(),
                     backend=backend)
     if is_primary:

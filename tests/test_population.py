@@ -106,3 +106,4 @@ def test_population_experiment(tmp_path):
     # different lrs produce genuinely different members
     assert not np.allclose(m[:, 0], m[:, 2])
     assert res["final_train_loss"] == pytest.approx(float(np.mean(m[-1])))
+    assert hist["best_member"] == int(np.argmin(mv[-1]))
