@@ -71,6 +71,23 @@ def main():
     frac = float(np.mean(err <= 2 * band + 1e-2))
     print(f"fraction of truths within mean +- 2 std bands: {frac:.2f}")
 
+    # ---- population training: a learning-rate grid as ONE run ----
+    # same vmapped machinery, but the members differ in optimizer
+    # hyperparameters (per-member lr rides the optimizer state) and share
+    # the data stream — argmin over the final losses picks the winner
+    from njode_tpu.utils.ensemble import train_population
+    lrs = [1e-2, 1e-3, 1e-4]
+    t0 = time.perf_counter()
+    _, _, hist = train_population(
+        model, "black_scholes", learning_rates=lrs,
+        n_epochs=max(4, n_epochs // 4), n_trajectories=n_traj,
+        batch_size=min(128, n_traj), obs_fraction=0.1, **P)
+    final = np.asarray(hist["train"])[-1]
+    best = int(final.argmin())
+    print(f"lr sweep {lrs} in {time.perf_counter() - t0:.1f}s -> "
+          f"winner lr={lrs[best]:g} (final losses "
+          f"{' '.join(f'{v:.4f}' for v in final)})")
+
 
 if __name__ == "__main__":
     main()
