@@ -83,7 +83,7 @@ def main():
         n_epochs=max(4, n_epochs // 4), n_trajectories=n_traj,
         batch_size=min(128, n_traj), obs_fraction=0.1, **P)
     final = np.asarray(hist["train"])[-1]
-    best = int(final.argmin())
+    best = int(np.nanargmin(final))      # a diverged member never wins
     print(f"lr sweep {lrs} in {time.perf_counter() - t0:.1f}s -> "
           f"winner lr={lrs[best]:g} (final losses "
           f"{' '.join(f'{v:.4f}' for v in final)})")

@@ -225,14 +225,13 @@ def _parse_ensemble_lrs(args):
         raise SystemExit(f"--ensemble {args.ensemble} does not match the "
                          f"{len(lrs)} values of --ensemble-lrs")
     args.ensemble = len(lrs)
-    args.ensemble_lrs_parsed = lrs
     return lrs
 
 
 def build_config(args, experiment_name: str, process_type: str,
                  data_params: dict) -> dict:
     """Assemble the nested config dict (reference experiment_*.py:79-113)."""
-    _parse_ensemble_lrs(args)                # may set args.ensemble
+    ensemble_lrs = _parse_ensemble_lrs(args)       # may set args.ensemble
     return {
         "experiment_name": getattr(args, "experiment_name", None)
                            or experiment_name,
@@ -268,7 +267,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "compute_dtype": args.compute_dtype,
         "checkpoint_backend": args.checkpoint_backend,
         "ensemble": args.ensemble,
-        "ensemble_lrs": getattr(args, "ensemble_lrs_parsed", None),
+        "ensemble_lrs": ensemble_lrs,
         "use_pallas": {"off": False, "auto": "auto", "force": True,
                        "step": "step", "train": "train"}[args.kernels],
         "debug_checks": args.debug_checks,

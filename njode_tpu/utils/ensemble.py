@@ -48,9 +48,15 @@ from ..models.jump_ode import NeuralJumpODE
 from .training import Trainer, make_adam
 
 
-def _member_keys(base: jax.Array, n_seeds: int) -> jax.Array:
+def _member_keys(base: jax.Array, n_seeds: int,
+                 share_data: bool = False) -> jax.Array:
     """Per-member keys: member s's key depends only on (base, s), never on
-    n_seeds — so the same member is identical across ensemble sizes."""
+    n_seeds — so the same member is identical across ensemble sizes.
+    ``share_data=True`` gives every member the SAME key (shared stream).
+    The ONE derivation for training, validation, and rel-loss eval keys —
+    eval data must mirror the member streams exactly."""
+    if share_data:
+        return jnp.broadcast_to(base, (n_seeds, *base.shape))
     return jax.vmap(lambda s: jax.random.fold_in(base, s))(
         jnp.arange(n_seeds))
 
@@ -191,9 +197,7 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
     val_data = None
     if n_val > 0:
         vbase = jax.random.fold_in(data_base, 0x7a1)
-        vkeys = (jnp.broadcast_to(vbase, (n_seeds, *vbase.shape))
-                 if share_data else
-                 jax.vmap(lambda s: jax.random.fold_in(vbase, s))(seeds))
+        vkeys = _member_keys(vbase, n_seeds, share_data)
         val_data = jax.jit(jax.vmap(lambda k: gen(k, n_val)))(vkeys)
         if mesh is not None:
             val_data = shard_ensemble(mesh, val_data)

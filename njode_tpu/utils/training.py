@@ -337,11 +337,22 @@ class Trainer:
         for k in ("lr", "weight_decay"):
             if k not in self.train_kernel_opts:
                 problems.append(f"train_kernel_opts missing {k!r}")
-        # a make_adam chain carries its hyperparameters — catch a kernel
-        # that would silently train with different lr/wd than the optax
-        # state it round-trips through (resume on the XLA path would then
-        # switch hyperparameters mid-run)
+        # catch a kernel that would silently train with different lr/wd
+        # than the optax state it round-trips through (resume on the XLA
+        # path would then switch hyperparameters mid-run): a make_adam
+        # chain tags its update fn; an inject_hyperparams optimizer
+        # (population_adam) carries them in state. Opaque third-party
+        # optimizers can't be introspected — the train_kernel_opts
+        # docstring remains their contract.
         hp = getattr(self.optimizer.update, "njode_hparams", None)
+        if hp is None:
+            ih = getattr(self.opt_state, "hyperparams", None)
+            if isinstance(ih, dict) and "learning_rate" in ih:
+                try:
+                    hp = {"lr": float(ih["learning_rate"]),
+                          "weight_decay": float(ih.get("weight_decay", 0.0))}
+                except (TypeError, ValueError):
+                    hp = None               # per-member arrays (population)
         if hp is not None:
             for k, name in (("lr", "lr"), ("weight_decay", "weight_decay")):
                 want, got = hp[name], self.train_kernel_opts.get(k)
@@ -870,6 +881,13 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     mesh = None
     n_dp = config.get("data_parallel", 0)
     n_ensemble = int(config.get("ensemble", 0) or 0)
+    lrs_cfg = config.get("ensemble_lrs") or None
+    if lrs_cfg and n_ensemble <= 1:
+        # config-dict callers (the CLI resolves this in _parse_ensemble_lrs):
+        # a population request implies its member count — never silently
+        # train one model at config['learning_rate']
+        n_ensemble = len(lrs_cfg)
+        config = {**config, "ensemble": n_ensemble}
     if n_ensemble > 1:
         # ensembles parallelize over the SEED axis (zero cross-member
         # collectives), so a device request via --data-parallel/--multihost
@@ -1005,9 +1023,9 @@ def _ensemble_rel_eval(config: Dict, model, n_seeds: int,
                    if k not in ("process_type", "n_train", "n_val",
                                 "obs_fraction", "cache_data", "obs_only")}
     data_base = jax.random.PRNGKey(config.get("data_seed", 0))
+    from .ensemble import _member_keys
     k0 = jax.random.fold_in(data_base, 0)   # epoch-0 data key (ensemble.py)
-    keys = (jnp.broadcast_to(k0, (n_seeds, *k0.shape)) if share_data else
-            jax.vmap(lambda s: jax.random.fold_in(k0, s))(jnp.arange(n_seeds)))
+    keys = _member_keys(k0, n_seeds, share_data)
 
     def gen10(k):
         b = simulate_batch(k, data["n_train"], process_type,
@@ -1040,6 +1058,29 @@ def _ensemble_rel_eval(config: Dict, model, n_seeds: int,
         extended_moments=config.get("extended_moments", False)))(
         values, y_true, y_true_before, mask)
     return dict(times=times, values=values, mask=mask, l_true=l_true)
+
+
+def _population_winner(member_rows):
+    """Best member by final val loss (train when no validation ran),
+    NaN-safe: diverged members never win; all-NaN returns (None, None)."""
+    rows = member_rows["val"] or member_rows["train"]
+    if not rows:
+        return None, None
+    by = "val" if member_rows["val"] else "train"
+    arr = np.asarray(rows[-1], dtype=float)
+    if np.all(np.isnan(arr)):
+        return None, by
+    return int(np.nanargmin(arr)), by
+
+
+def _print_population_winner(lrs, member_rows):
+    best, by = _population_winner(member_rows)
+    if best is None:
+        print("Population winner: none (every member's final loss is NaN)")
+        return
+    loss = float((member_rows[by])[-1][best])
+    print(f"Population winner: lr={float(lrs[best]):g} (member {best}, "
+          f"final {by} loss {loss:.6f})")
 
 
 def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
@@ -1140,6 +1181,10 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
         }
         if lrs is not None:
             history["ensemble_lrs"] = [float(x) for x in lrs]
+            best, by = _population_winner(member_rows)
+            if best is not None:
+                history["best_member"] = best
+                history["best_member_by"] = by
         if resumed:
             history["resumed_from_checkpoint"] = True
         return history
@@ -1158,6 +1203,8 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
 
     if start_epoch >= n_epochs:
         print(f"Training already completed ({start_epoch} epochs)")
+        if lrs is not None:
+            _print_population_winner(lrs, member_rows)
         history = assemble_history()
         params_stack, _, _ = (initial_state[0], None, None) if initial_state \
             else (init_ensemble(model, n_seeds, seed=config.get("seed", 0)),
@@ -1229,14 +1276,7 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
           f"epochs; final member losses "
           f"{[round(x, 4) for x in member_rows['train'][-1]]}")
     if lrs is not None:
-        # the sweep verdict: best member by final val loss (train loss
-        # when no validation was requested)
-        crit = (member_rows["val"] or member_rows["train"])[-1]
-        best = int(np.argmin(crit))
-        by = "val" if member_rows["val"] else "train"
-        history["best_member"] = best
-        print(f"Population winner: lr={lrs[best]:g} (member {best}, "
-              f"final {by} loss {crit[best]:.6f})")
+        _print_population_winner(lrs, member_rows)
     save_checkpoint(ckpt_path, params_stack, opt_state, ckpt_histories(),
                     backend=backend)
     if is_primary:

@@ -88,7 +88,9 @@ def test_population_experiment(tmp_path):
         "output_dim": 1, "n_hidden_layers": 1, "activation": "relu",
         "learning_rate": 1e-3, "weight_decay": 0.0, "n_epochs": 4,
         "batch_size": 16, "print_every": 2, "ignore_first_continuity": True,
-        "num_moments": 2, "ensemble": 3,
+        "num_moments": 2,
+        # no "ensemble" key: ensemble_lrs alone must imply the member
+        # count (a config-dict caller must never silently get one model)
         "ensemble_lrs": [1e-2, 1e-3, 1e-4],
         "data": {"process_type": "black_scholes", "n_train": 32,
                  "n_val": 8, "obs_fraction": 0.2, "cache_data": True,
@@ -107,3 +109,16 @@ def test_population_experiment(tmp_path):
     assert not np.allclose(m[:, 0], m[:, 2])
     assert res["final_train_loss"] == pytest.approx(float(np.mean(m[-1])))
     assert hist["best_member"] == int(np.argmin(mv[-1]))
+
+
+def test_population_winner_nan_safe():
+    """A diverged (NaN) member must never be declared the winning lr."""
+    from njode_tpu.utils.training import _population_winner
+
+    rows = {"val": [[float("nan"), 0.02, 0.05]], "train": [[1.0, 2.0, 3.0]]}
+    assert _population_winner(rows) == (1, "val")
+    rows = {"val": [], "train": [[float("nan"), 0.7, 0.3]]}
+    assert _population_winner(rows) == (2, "train")
+    rows = {"val": [[float("nan")] * 2], "train": [[1.0, 2.0]]}
+    assert _population_winner(rows) == (None, "val")
+    assert _population_winner({"val": [], "train": []}) == (None, None)
