@@ -167,12 +167,14 @@ def add_common_args(parser: argparse.ArgumentParser,
                         choices=['msgpack', 'orbax'],
                         help='Checkpoint format: single-file msgpack or an '
                              'Orbax directory (multi-host sharded params)')
-    parser.add_argument('--kernels', type=str, default='off',
+    parser.add_argument('--kernels', type=str, default='auto',
                         choices=['off', 'auto', 'force', 'step', 'train'],
-                        help='Pallas kernel policy: off = pure XLA (default;'
-                             ' fastest for most training programs), auto = '
-                             'enable the gap kernel in its measured-win '
-                             'regime (streaming inference), force = all '
+                        help='Pallas kernel policy: auto (default) = every '
+                             'kernel in its measured-win regime — the gap '
+                             'kernel for streaming inference and the whole-'
+                             'run training kernel for eligible small-model '
+                             'TPU configs (the headline-bench fast path); '
+                             'off = pure XLA, force = all '
                              'per-gap kernels on, step = the fused whole-'
                              'step training kernel (1.5-1.8x the scaled-'
                              'config step; needs separate networks, 1 '

@@ -196,9 +196,11 @@ class Trainer:
         self.mesh = mesh
         # the whole-run training kernel (ops/train_kernel.py): every epoch's
         # minibatch loop runs as ONE Pallas program with params + Adam state
-        # in VMEM.  False | True | "interpret" (CPU tests).  The optimizer
-        # passed above MUST be make_adam(lr, weight_decay) with the values
-        # in train_kernel_opts — the kernel implements exactly that chain.
+        # in VMEM.  False | True | "interpret" (CPU tests) | "auto" (engage
+        # on real TPU when the config is eligible, silently stay on XLA
+        # otherwise — resolved at train() time).  The optimizer passed above
+        # MUST be make_adam(lr, weight_decay) with the values in
+        # train_kernel_opts — the kernel implements exactly that chain.
         self.use_train_kernel = use_train_kernel
         self.train_kernel_opts = dict(train_kernel_opts or {})
         if model_shard not in ("none", "moments", "hidden"):
@@ -363,6 +365,28 @@ class Trainer:
         if problems:
             raise ValueError("--kernels train not applicable: "
                              + "; ".join(problems))
+
+    def _auto_train_kernel_ok(self, batch_size: Optional[int],
+                              use_chunks: bool, loader) -> bool:
+        """Quiet twin of :meth:`_train_kernel_check` for ``--kernels auto``:
+        engage the whole-run kernel only where it measured fastest
+        (BENCH_NOTES.md r3b: real TPU, eligible small-model config, obs
+        slots that fit the lane packing) and degrade to XLA everywhere
+        else without noise — auto never runs the (slow) interpreter."""
+        if not use_chunks or jax.default_backend() != "tpu":
+            return False
+        try:
+            self._train_kernel_check(batch_size)
+        except ValueError:
+            return False
+        from ..ops.train_kernel import LANES
+        try:
+            shapes = jax.eval_shape(loader.traced_gen,
+                                    jax.ShapeDtypeStruct((), jnp.int32))
+            n_slots = shapes.times.shape[1]
+        except Exception:
+            return False
+        return 2 * n_slots + 1 <= LANES
 
     def _build_kernel_chunk_fn(self, loader: "DataLoader", rel,
                                batch_size: int, shuffle: bool,
@@ -669,6 +693,12 @@ class Trainer:
                       and isinstance(train_data_fn, DataLoader)
                       and (val_data_fn is None
                            or isinstance(val_data_fn, DataLoader)))
+        if self.use_train_kernel == "auto":
+            self.use_train_kernel = self._auto_train_kernel_ok(
+                batch_size, use_chunks, train_data_fn)
+            if self.use_train_kernel:
+                print("Whole-run training kernel engaged (--kernels auto: "
+                      "eligible small-model TPU config — BENCH_NOTES.md r3b)")
         if self.use_train_kernel:
             self._train_kernel_check(batch_size)
             if not use_chunks:
@@ -918,7 +948,14 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     # eval/plots while the Trainer routes epochs through ops/train_kernel.py
     use_pallas_cfg = config.get("use_pallas", False)
     use_train_kernel = use_pallas_cfg == "train"
-    if use_train_kernel:
+    if use_pallas_cfg == "auto" and n_ensemble <= 1:
+        # --kernels auto also engages the whole-run TRAINING kernel where it
+        # measured fastest (small-model TPU configs, BENCH_NOTES.md r3b) —
+        # the Trainer resolves eligibility at train() time, where the mesh,
+        # batch size, and obs-slot count are all known.  The model keeps
+        # use_pallas='auto' for its own (inference-side) gap-kernel policy.
+        use_train_kernel = "auto"
+    if use_train_kernel is True:
         use_pallas_cfg = False
         if n_ensemble > 1:
             # measured: the XLA vmapped ensemble beats the vmapped kernel

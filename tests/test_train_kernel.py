@@ -477,3 +477,112 @@ def test_trainer_kernel_check_rejects_hparam_mismatch():
     msg = str(ei.value)
     assert "optimizer's lr" in msg
     assert "optimizer's weight_decay" in msg
+
+
+def _auto_trainer(**overrides):
+    """An eligible (hidden<=128, separate nets, euler, f32) Trainer +
+    loader pair for the --kernels auto resolution tests."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd = 1e-3, 5e-4
+    model_kw = dict(input_dim=1, hidden_dim=H, output_dim=1, num_moments=2)
+    model_kw.update(overrides.pop("model", {}))
+    model = NeuralJumpODE(**model_kw)
+    tr_kw = dict(ignore_first_continuity=True, use_train_kernel="auto",
+                 train_kernel_opts=dict(lr=lr, weight_decay=wd))
+    tr_kw.update(overrides)
+    tr = Trainer(model, make_adam(lr, wd), **tr_kw)
+    train_fn, _ = create_data_loaders(
+        process_type="black_scholes", n_train=2 * BS, n_val=4,
+        obs_fraction=N / 100.0, cache_data=False, obs_only=True,
+        mu=0.1, sigma=0.5, x0=1.0)
+    return tr, train_fn
+
+
+def test_auto_train_kernel_resolution(monkeypatch):
+    """--kernels auto engages the whole-run kernel exactly in its measured
+    win regime: real TPU + eligible config + slots that fit the lanes —
+    and silently resolves to the XLA path everywhere else (auto never
+    runs the interpreter)."""
+    from njode_tpu.utils import training as T
+
+    tr, loader = _auto_trainer()
+    # off-TPU (this CI runs on CPU): auto -> XLA, quietly
+    assert tr._auto_train_kernel_ok(BS, True, loader) is False
+
+    # fake a TPU backend: the same config must now engage
+    monkeypatch.setattr(T.jax, "default_backend", lambda: "tpu")
+    assert tr._auto_train_kernel_ok(BS, True, loader) is True
+    # ... but not without the fused chunk path
+    assert tr._auto_train_kernel_ok(BS, False, loader) is False
+    # ... or with a kernel-incompatible batch size (not a multiple of 8)
+    assert tr._auto_train_kernel_ok(BS - 4 + 1, True, loader) is False
+
+    # ineligible model (dropout) -> quiet False, no raise
+    tr2, loader2 = _auto_trainer(model=dict(dropout_rate=0.3))
+    assert tr2._auto_train_kernel_ok(BS, True, loader2) is False
+
+    # too many observation slots for the lane packing (2N+1 > 128)
+    from njode_tpu.utils.training import create_data_loaders
+    big_train, _ = create_data_loaders(
+        process_type="black_scholes", n_train=2 * BS, n_val=4,
+        obs_fraction=0.9, n_steps=200, cache_data=False, obs_only=True,
+        mu=0.1, sigma=0.5, x0=1.0)
+    assert tr._auto_train_kernel_ok(BS, True, big_train) is False
+
+
+def test_auto_train_kernel_off_tpu_trains_on_xla():
+    """A full train() with use_train_kernel='auto' on CPU runs the normal
+    XLA chunked path (identical history to use_train_kernel=False)."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd = 1e-3, 5e-4
+
+    def run(mode):
+        model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                              num_moments=2)
+        tr = Trainer(model, make_adam(lr, wd), ignore_first_continuity=True,
+                     seed=0, use_train_kernel=mode,
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd))
+        train_fn, val_fn = create_data_loaders(
+            process_type="black_scholes", n_train=2 * BS, n_val=8,
+            obs_fraction=N / 100.0, cache_data=True, base_seed=0,
+            obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+        return tr.train(train_fn, val_fn, n_epochs=2, batch_size=BS,
+                        print_every=1)
+
+    h_auto = run("auto")
+    h_off = run(False)
+    np.testing.assert_array_equal(np.asarray(h_auto["train_loss"]),
+                                  np.asarray(h_off["train_loss"]))
+    np.testing.assert_array_equal(np.asarray(h_auto["val_loss"]),
+                                  np.asarray(h_off["val_loss"]))
+
+
+def test_run_experiment_auto_wires_train_kernel(tmp_path, monkeypatch):
+    """--kernels auto reaches the Trainer as use_train_kernel='auto' (the
+    Trainer resolves eligibility at train() time) while the model keeps
+    use_pallas='auto' for its inference-side gap-kernel policy."""
+    from njode_tpu.utils import training as T
+
+    seen = {}
+    orig = T.Trainer.__init__
+
+    def spy(self, *a, **kw):
+        seen["use_train_kernel"] = kw.get("use_train_kernel")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(T.Trainer, "__init__", spy)
+    config = dict(
+        experiment_name="auto_kernel", input_dim=1, hidden_dim=8,
+        output_dim=1, n_hidden_layers=1, activation="relu",
+        learning_rate=1e-2, weight_decay=5e-4, n_epochs=2, batch_size=16,
+        shuffle=True, print_every=1, ignore_first_continuity=True,
+        num_moments=2, use_pallas="auto", seed=0, data_seed=0,
+        data=dict(process_type="black_scholes", n_train=16, n_val=8,
+                  obs_fraction=0.2, cache_data=True, obs_only=True,
+                  mu=0.1, sigma=0.5, T=1.0, n_steps=20, x0=1.0),
+    )
+    res = T.run_experiment(config, save_dir=str(tmp_path))
+    assert seen["use_train_kernel"] == "auto"
+    assert np.all(np.isfinite(np.asarray(res["history"]["train_loss"])))
