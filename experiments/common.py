@@ -171,9 +171,11 @@ def add_common_args(parser: argparse.ArgumentParser,
                         choices=['off', 'auto', 'force', 'step', 'train'],
                         help='Pallas kernel policy: auto (default) = every '
                              'kernel in its measured-win regime — the gap '
-                             'kernel for streaming inference and the whole-'
+                             'kernel for streaming inference, the whole-'
                              'run training kernel for eligible small-model '
-                             'TPU configs (the headline-bench fast path); '
+                             'TPU configs, and the fused-step kernel for '
+                             'MXU-bound configs (hidden >= 192, >= 4096 '
+                             'rows) — the headline-bench fast paths; '
                              'off = pure XLA, force = all '
                              'per-gap kernels on, step = the fused whole-'
                              'step training kernel (1.5-1.8x the scaled-'

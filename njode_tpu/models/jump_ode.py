@@ -211,8 +211,22 @@ class NeuralJumpODE:
         on_tpu = _jax.default_backend() in ("tpu",)
         return on_tpu if self.use_pallas == "auto" else bool(self.use_pallas)
 
-    def _use_fused_step(self, n_slots: int) -> bool:
-        if self.use_pallas not in ("step", "step-interpret"):
+    def _use_fused_step(self, n_slots: int, n_rows: int = 0) -> bool:
+        if self.use_pallas == "auto":
+            # measured-win regime only (scripts/measure_scaled_step.py,
+            # BENCH_NOTES.md r3d): MXU-bound configs — hidden >= 192 with
+            # a large folded row count; smaller points measured neutral
+            # or inconclusive and stay on XLA.
+            from ..ops.fused_step import AUTO_MIN_HIDDEN, AUTO_MIN_ROWS
+            if (not self._step_eligible
+                    or self.hidden_dim < AUTO_MIN_HIDDEN
+                    or n_rows < AUTO_MIN_ROWS
+                    or self.compute_dtype not in (None, jnp.bfloat16)):
+                return False
+            import jax as _jax
+            if _jax.default_backend() != "tpu":
+                return False
+        elif self.use_pallas not in ("step", "step-interpret"):
             return False
         if not self._step_eligible:
             return False
@@ -571,7 +585,7 @@ class NeuralJumpODE:
         else:
             r_jump = r_out_a = r_gap = r_out_b = None
 
-        if not use_rng and self._use_fused_step(N):
+        if not use_rng and self._use_fused_step(N, n_rows=B * max(N - 1, 1)):
             from ..ops.fused_step import fused_step_apply
             return fused_step_apply(
                 params, times, values,

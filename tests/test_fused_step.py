@@ -354,3 +354,36 @@ def test_non_divisor_tile_override(monkeypatch):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_auto_engages_fused_step_in_measured_regime(monkeypatch):
+    """use_pallas='auto' routes apply through the fused-step kernel exactly
+    in its measured-win regime (hidden >= 192 with >= 4096 folded rows on
+    real TPU — BENCH_NOTES.md r3d) and stays on XLA everywhere else."""
+    import jax as _jax
+
+    def mk(hidden, **kw):
+        return NeuralJumpODE(input_dim=1, hidden_dim=hidden, output_dim=1,
+                             num_moments=2, use_pallas="auto", **kw)
+
+    m = mk(256)
+    # off-TPU (CPU CI): never engages
+    assert m._use_fused_step(2, n_rows=4096) is False
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert m._use_fused_step(2, n_rows=4096) is True
+    # below the measured row boundary -> XLA
+    assert m._use_fused_step(2, n_rows=512) is False
+    # below the measured hidden boundary -> XLA
+    assert mk(128)._use_fused_step(2, n_rows=4096) is False
+    # boundary point hidden 192 measured 1.07x -> engages
+    assert mk(192)._use_fused_step(2, n_rows=4096) is True
+    # ineligible model configs stay on XLA even in the win regime
+    assert mk(256, dropout_rate=0.3)._use_fused_step(2, n_rows=4096) is False
+    assert mk(256, dt_ode_step=0.01)._use_fused_step(2, n_rows=4096) is False
+    # too many slots for the lane packing
+    assert m._use_fused_step(70, n_rows=4096) is False
+    # explicit modes unchanged by the n_rows argument
+    ms = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
+                       num_moments=2, use_pallas="step-interpret")
+    assert ms._use_fused_step(2) is True
