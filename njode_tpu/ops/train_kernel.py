@@ -106,7 +106,7 @@ def train_kernel_available(shared_network, input_dim, output_dim,
 
 def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
                          eps_loss: float, w0m: float, w1m: float,
-                         variance_method: str):
+                         variance_method: str, K: int = 2):
     """Closed-form NJ-ODE loss and its lane-matrix cotangents.
 
     Inputs are (RT, LANES) lane matrices (column s = observation slot s;
@@ -116,7 +116,9 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     with L the (1, 1) batch loss — the exact reduction order of
     ``nj_ode_loss_dense`` with ignore_first_continuity (slot-0 continuity
     masked) and traj-masked mean.  Shared verbatim by both kernels so a
-    loss-semantics change cannot diverge them.
+    loss-semantics change cannot diverge them.  ``K=1`` (mean-only models)
+    drops the variance term exactly like ``nj_ode_loss_dense`` with
+    num_moments == 1; A1m/B1m are ignored and gA1/gB1 come back None.
     """
     RT = scal.shape[0]
     col_iota = lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
@@ -129,6 +131,18 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     SA = jnp.sqrt(aj + eps_loss)
     SCt = jnp.sqrt(ac + eps_loss)
     T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
+
+    if K == 1:
+        inv_n = 1.0 / float(N)
+        L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n
+        NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)
+        L = jnp.sum(w0m * L0 * validc, keepdims=True) / NV
+        wrow = validc / NV
+        gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
+                        * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
+        gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
+                        * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
+        return L, gA0, gB0, None, None
 
     if variance_method == "direct":
         V = A1m ** 2
@@ -413,22 +427,31 @@ def _train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
         adam_v(k)
 
     # ---------------- forwards (current params) + closed-form loss ----------
-    A0m, B0m = fwd(0, keep=False)
-    A1m, B1m, res1 = fwd(1, keep=True)
+    if K == 1:
+        # mean-only models: one network, one live forward, no remat
+        A0m, B0m, res0 = fwd(0, keep=True)
+        L, gA0, gB0, _, _ = _loss_and_cotangents(
+            scal, validc, A0m, B0m, None, None, N=N, eps_loss=eps_loss,
+            w0m=w0m, w1m=w1m, variance_method=variance_method, K=1)
+        _write_loss(loss_ref, L)
+        backward_and_update(0, gA0, gB0, res0)
+    else:
+        A0m, B0m = fwd(0, keep=False)
+        A1m, B1m, res1 = fwd(1, keep=True)
 
-    L, gA0, gB0, gA1, gB1 = _loss_and_cotangents(
-        scal, validc, A0m, B0m, A1m, B1m, N=N, eps_loss=eps_loss,
-        w0m=w0m, w1m=w1m, variance_method=variance_method)
-    _write_loss(loss_ref, L)
+        L, gA0, gB0, gA1, gB1 = _loss_and_cotangents(
+            scal, validc, A0m, B0m, A1m, B1m, N=N, eps_loss=eps_loss,
+            w0m=w0m, w1m=w1m, variance_method=variance_method)
+        _write_loss(loss_ref, L)
 
-    # ---------------- backwards + in-VMEM Adam (k=1 first: its activations
-    # are live; k=0 rematerializes AFTER k=1's update — safe because the
-    # update only touches k=1's planes, so k=0's remat still sees its own
-    # pre-update weights.  Costs one extra k=0 forward (~1/6 of the
-    # matmuls) but halves the peak activation footprint. ------------------
-    backward_and_update(1, gA1, gB1, res1)
-    _, _, res0 = fwd(0, keep=True)
-    backward_and_update(0, gA0, gB0, res0)
+        # ------------- backwards + in-VMEM Adam (k=1 first: its activations
+        # are live; k=0 rematerializes AFTER k=1's update — safe because the
+        # update only touches k=1's planes, so k=0's remat still sees its own
+        # pre-update weights.  Costs one extra k=0 forward (~1/6 of the
+        # matmuls) but halves the peak activation footprint. ---------------
+        backward_and_update(1, gA1, gB1, res1)
+        _, _, res0 = fwd(0, keep=True)
+        backward_and_update(0, gA0, gB0, res0)
 
     @pl.when(r == n_r - 1)
     def _():
@@ -949,8 +972,9 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
     """
     if mxu_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"train kernel: unknown mxu_dtype {mxu_dtype!r}")
-    if num_moments != 2:
-        raise ValueError("train kernel: K == 2 moments only")
+    if num_moments not in (1, 2):
+        raise ValueError("train kernel: K in (1, 2) moments only (the "
+                         "closed-form loss covers mean and mean+variance)")
     if state[0].shape[-1] != LANES:
         raise ValueError("train kernel: hidden_dim must pad to one lane "
                          f"tile (Hp == {LANES}); larger models use the "
@@ -970,13 +994,15 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
             float(moment_weights[1]), variance_method, interpret,
             mxu_dtype)
     else:
+        w1m = (float(moment_weights[1]) if len(moment_weights) > 1
+               else 1.0)                  # unread when num_moments == 1
         core = _make_train_core(
             n_slots, num_moments, Hp, batch_size, activation,
             input_scaling, float(lr), float(weight_decay),
             float(betas[0]), float(betas[1]),
             float(adam_eps), float(eps),
             float(moment_weights[0]),
-            float(moment_weights[1]), variance_method,
+            w1m, variance_method,
             interpret, mxu_dtype)
     out = core(data, *state)
     losses = out[0][:, 0, 0]

@@ -320,8 +320,9 @@ class Trainer:
                 "model config (needs separate networks, input/output dim 1, "
                 "one hidden layer, no dropout, euler, no --dt-ode-step, an "
                 "f(0)=0 activation/scaling)")
-        if m.num_moments != 2:
-            problems.append("num_moments must be 2")
+        if m.num_moments not in (1, 2):
+            problems.append("num_moments must be 1 or 2 (the kernel's "
+                            "closed-form loss covers mean and mean+variance)")
         if m.hidden_dim > 128:
             problems.append("hidden_dim must be <= 128 (larger models are "
                             "faster on --kernels step)")

@@ -586,3 +586,43 @@ def test_run_experiment_auto_wires_train_kernel(tmp_path, monkeypatch):
     res = T.run_experiment(config, save_dir=str(tmp_path))
     assert seen["use_train_kernel"] == "auto"
     assert np.all(np.isfinite(np.asarray(res["history"]["train_loss"])))
+
+
+@pytest.mark.parametrize("variance_method", ["direct", "second_moment"])
+def test_trainer_kernel_mean_only_matches_xla(variance_method):
+    """K=1 (mean-only, --num-moments 1): the kernel's closed-form loss
+    drops the variance term exactly like nj_ode_loss_dense with one
+    moment; whole train() histories and params match the XLA path.
+    variance_method is a no-op at K=1 — both values must give the same
+    kernel program."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd = 1e-3, 5e-4
+
+    def run(kernel):
+        model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                              num_moments=1)
+        tr = Trainer(model, make_adam(lr, wd),
+                     ignore_first_continuity=True,
+                     moment_weights=[1.0], seed=0,
+                     variance_method=variance_method,
+                     use_train_kernel=("interpret" if kernel else False),
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd))
+        train_fn, val_fn = create_data_loaders(
+            process_type="black_scholes", n_train=2 * BS, n_val=8,
+            obs_fraction=N / 100.0, cache_data=True, base_seed=0,
+            obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+        hist = tr.train(train_fn, val_fn, n_epochs=3, batch_size=BS,
+                        print_every=1)
+        return hist, tr.params
+
+    h_x, p_x = run(False)
+    h_k, p_k = run(True)
+    np.testing.assert_allclose(np.asarray(h_k["train_loss"]),
+                               np.asarray(h_x["train_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_k["val_loss"]),
+                               np.asarray(h_x["val_loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_x),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
