@@ -141,6 +141,16 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
     """
     from ..simulation import simulate_batch
 
+    if model.use_pallas == "auto":
+        # vmap-of-pallas_call runs members SEQUENTIALLY (batch grid axis)
+        # while XLA folds them into the matmul batch axis — measured 0.82x
+        # at K=8 (BENCH_NOTES.md r3c).  'auto' means measured-best, so the
+        # ensemble program drops the kernels (a private copy; the caller's
+        # model keeps its policy for single-model use).
+        import copy as _copy
+        model = _copy.copy(model)
+        model.use_pallas = False
+
     tx = optimizer if optimizer is not None else make_adam(1e-3, 5e-4)
     # a Trainer only for its traced _epoch_update/_loss (one pytree of
     # config); its own params/opt_state are unused.

@@ -225,3 +225,23 @@ def test_ensemble_predict_and_uncertainty():
     assert np.all(np.asarray(std) >= 0)
     assert np.any(np.asarray(std) > 0)        # members genuinely disagree
     assert np.all(np.isfinite(np.asarray(mean)))
+
+
+def test_auto_kernels_disabled_inside_ensemble(monkeypatch):
+    """A use_pallas='auto' model at fused-step-eligible scale must train an
+    ensemble on the pure-XLA path: vmap-of-pallas runs members sequentially
+    (measured 0.82x, BENCH_NOTES r3c), so 'auto' (= measured-best) drops
+    the kernels inside the vmapped program.  With a faked TPU backend the
+    fused-step kernel WOULD engage at these shapes (hidden 192, 8192 folded
+    rows) and a real pallas_call would crash this CPU run — passing proves
+    the ensemble trainer's guard.  The caller's model keeps its policy."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    model = NeuralJumpODE(input_dim=1, hidden_dim=192, output_dim=1,
+                          num_moments=2, use_pallas="auto")
+    assert model._use_fused_step(3, n_rows=8192) is True  # would engage
+    _, losses = train_ensemble(model, "black_scholes", n_seeds=2,
+                               n_epochs=1, n_trajectories=4096,
+                               batch_size=4096, obs_fraction=0.1,
+                               n_steps=20, T=1.0, mu=0.1, sigma=0.5, x0=1.0)
+    assert np.all(np.isfinite(losses))
+    assert model.use_pallas == "auto"                     # caller unchanged
