@@ -83,10 +83,13 @@ def main():
         n_epochs=max(4, n_epochs // 4), n_trajectories=n_traj,
         batch_size=min(128, n_traj), obs_fraction=0.1, **P)
     final = np.asarray(hist["train"])[-1]
-    best = int(np.nanargmin(final))      # a diverged member never wins
-    print(f"lr sweep {lrs} in {time.perf_counter() - t0:.1f}s -> "
-          f"winner lr={lrs[best]:g} (final losses "
-          f"{' '.join(f'{v:.4f}' for v in final)})")
+    if np.all(np.isnan(final)):          # nanargmin raises on all-NaN
+        print(f"lr sweep {lrs}: every member diverged (all-NaN final loss)")
+    else:
+        best = int(np.nanargmin(final))  # a diverged member never wins
+        print(f"lr sweep {lrs} in {time.perf_counter() - t0:.1f}s -> "
+              f"winner lr={lrs[best]:g} (final losses "
+              f"{' '.join(f'{v:.4f}' for v in final)})")
 
 
 if __name__ == "__main__":

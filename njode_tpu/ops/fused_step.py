@@ -377,7 +377,7 @@ def _pad_rows(x, R):
     return jnp.pad(x, ((0, R - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _make_core(N: int, K: int, Hp: int, act: str, scale: str,
                cdt_name: str, interpret: bool, shared: bool = False):
     """Build the custom-VJP core for one static configuration.

@@ -701,7 +701,7 @@ def _train_kernel_dual(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
 # host-side plumbing
 # --------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
                      lr: float, wd: float, b1: float, b2: float,
                      eps_adam: float, eps_loss: float, w0m: float,
@@ -753,7 +753,7 @@ def _make_train_core(N: int, K: int, Hp: int, RT: int, act: str, scale: str,
     return call
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _make_train_core_dual(N: int, Hp: int, RT: int, act: str, scale: str,
                           lr: float, wd: float, b1: float, b2: float,
                           eps_adam: float, eps_loss: float, w0m: float,

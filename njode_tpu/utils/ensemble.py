@@ -206,7 +206,12 @@ def train_ensemble_full(model: NeuralJumpODE, process_type: str, n_seeds: int,
 
     val_data = None
     if n_val > 0:
-        vbase = jax.random.fold_in(data_base, 0x7a1)
+        # validation tag = 2^32 - 1: training data keys are
+        # fold_in(data_base, epoch) with epoch a small nonnegative int, so
+        # the max-uint32 tag can never collide with an epoch's stream (a
+        # small constant tag like 0x7a1 WOULD collide — with epoch 1953's
+        # training data — making long runs validate on trained-on paths)
+        vbase = jax.random.fold_in(data_base, 0xFFFFFFFF)
         vkeys = _member_keys(vbase, n_seeds, share_data)
         val_data = jax.jit(jax.vmap(lambda k: gen(k, n_val)))(vkeys)
         if mesh is not None:

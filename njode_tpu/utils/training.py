@@ -64,7 +64,8 @@ def make_adam(learning_rate: float, weight_decay: float = 0.0
     # attributes; the namedtuple itself doesn't) so the whole-run kernel
     # can verify train_kernel_opts against the optimizer it replaces
     tx.update.njode_hparams = {"lr": float(learning_rate),
-                               "weight_decay": float(weight_decay)}
+                               "weight_decay": float(weight_decay),
+                               "betas": (0.9, 0.999), "adam_eps": 1e-8}
     return tx
 
 
@@ -199,8 +200,10 @@ class Trainer:
         # in VMEM.  False | True | "interpret" (CPU tests) | "auto" (engage
         # on real TPU when the config is eligible, silently stay on XLA
         # otherwise — resolved at train() time).  The optimizer passed above
-        # MUST be make_adam(lr, weight_decay) with the values in
-        # train_kernel_opts — the kernel implements exactly that chain.
+        # MUST be an Adam chain matching train_kernel_opts — the kernel
+        # implements exactly the make_adam chain, with required keys
+        # 'lr'/'weight_decay' and optional 'betas'/'adam_eps' (torch
+        # defaults (0.9, 0.999)/1e-8 when omitted).
         self.use_train_kernel = use_train_kernel
         self.train_kernel_opts = dict(train_kernel_opts or {})
         if model_shard not in ("none", "moments", "hidden"):
@@ -357,12 +360,19 @@ class Trainer:
                 except (TypeError, ValueError):
                     hp = None               # per-member arrays (population)
         if hp is not None:
-            for k, name in (("lr", "lr"), ("weight_decay", "weight_decay")):
-                want, got = hp[name], self.train_kernel_opts.get(k)
-                if got is not None and float(got) != want:
+            for k in ("lr", "weight_decay", "adam_eps"):
+                want, got = hp.get(k), self.train_kernel_opts.get(k)
+                if want is not None and got is not None \
+                        and float(got) != float(want):
                     problems.append(
                         f"train_kernel_opts[{k!r}]={got} != the "
-                        f"optimizer's {name}={want}")
+                        f"optimizer's {k}={want}")
+            want_b = hp.get("betas")
+            got_b = self.train_kernel_opts.get("betas")
+            if want_b is not None and got_b is not None \
+                    and tuple(map(float, got_b)) != tuple(map(float, want_b)):
+                problems.append(f"train_kernel_opts['betas']={got_b} != the "
+                                f"optimizer's betas={want_b}")
         if problems:
             raise ValueError("--kernels train not applicable: "
                              + "; ".join(problems))
@@ -391,7 +401,8 @@ class Trainer:
 
     def _build_kernel_chunk_fn(self, loader: "DataLoader", rel,
                                batch_size: int, shuffle: bool,
-                               L: int, print_every: int):
+                               L: int, print_every: int,
+                               interpret: bool = False):
         """The whole-run-kernel twin of :meth:`_build_chunk_fn`: same
         (params, opt_state) API and identical history semantics, but each
         epoch's minibatch loop executes as one Pallas program.  The optax
@@ -410,15 +421,20 @@ class Trainer:
                   hidden_dim=self.model.hidden_dim)
         lr = float(self.train_kernel_opts["lr"])
         wd = float(self.train_kernel_opts["weight_decay"])
+        # non-default Adam betas/eps are NOT introspectable from optax state;
+        # train_kernel_opts is the contract — pass them here or the kernel
+        # runs the torch defaults (0.9, 0.999, 1e-8)
+        betas = tuple(float(b) for b in
+                      self.train_kernel_opts.get("betas", (0.9, 0.999)))
+        adam_eps = float(self.train_kernel_opts.get("adam_eps", 1e-8))
         mw = tuple(self.moment_weights) if self.moment_weights else (1.0, 1.0)
-        interp = self.use_train_kernel == "interpret"
         cached = None
         if loader.cache:
             b = loader(0)
             cached = (b.times, b.values)
 
         def chunk_fn(params, opt_state, key, epoch0, val_t, val_v, val_m):
-            kst = kernel_state_from(params, opt_state, **kd)
+            kst = kernel_state_from(params, opt_state, betas=betas, **kd)
 
             def body(kst, e):
                 epoch = epoch0 + e
@@ -437,8 +453,9 @@ class Trainer:
                 kst2, step_losses = fused_train_run(
                     kst, data, n_slots=times.shape[1], batch_size=bs,
                     lr=lr, weight_decay=wd, moment_weights=mw,
-                    variance_method=self.variance_method, interpret=interp,
+                    variance_method=self.variance_method, interpret=interpret,
                     num_moments=self.model.num_moments,
+                    betas=betas, adam_eps=adam_eps,
                     activation=self.model._act_key,
                     input_scaling=self.model._scale_key)
                 tr_loss = jnp.mean(step_losses)
@@ -694,30 +711,34 @@ class Trainer:
                       and isinstance(train_data_fn, DataLoader)
                       and (val_data_fn is None
                            or isinstance(val_data_fn, DataLoader)))
-        if self.use_train_kernel == "auto":
-            self.use_train_kernel = self._auto_train_kernel_ok(
+        # resolve the kernel decision PER CALL (self.use_train_kernel stays
+        # as configured, so 'auto' keeps its silent-XLA-fallback promise on
+        # every train() invocation, not just the first)
+        use_kernel = self.use_train_kernel
+        if use_kernel == "auto":
+            use_kernel = self._auto_train_kernel_ok(
                 batch_size, use_chunks, train_data_fn)
-            if self.use_train_kernel:
+            if use_kernel:
                 print("Whole-run training kernel engaged (--kernels auto: "
                       "eligible small-model TPU config — BENCH_NOTES.md r3b)")
-        if self.use_train_kernel:
+        if use_kernel:
             self._train_kernel_check(batch_size)
             if not use_chunks:
                 raise ValueError("--kernels train requires on-device "
                                  "DataLoaders (the fused chunk path)")
-            if (self.use_train_kernel is True
-                    and jax.default_backend() != "tpu"):
+            if use_kernel is True and jax.default_backend() != "tpu":
                 # mirror --kernels step's off-TPU story, but the whole-run
                 # kernel has no XLA twin to fall back to — run the Pallas
                 # interpreter (correct, slow; fine for CLI smoke tests)
                 print("Note: --kernels train off TPU; using the Pallas "
                       "interpreter")
-                self.use_train_kernel = "interpret"
+                use_kernel = "interpret"
         if use_chunks:
             return self._train_chunked(
                 train_data_fn, val_data_fn, start_epoch, n_epochs,
                 batch_size, shuffle, print_every, save_path, rel, history,
-                print_every if chunk_epochs == "auto" else int(chunk_epochs))
+                print_every if chunk_epochs == "auto" else int(chunk_epochs),
+                use_kernel=use_kernel)
 
         val_batch = None
         for epoch in range(start_epoch, n_epochs):
@@ -773,8 +794,11 @@ class Trainer:
 
     def _train_chunked(self, loader, val_loader, start_epoch, n_epochs,
                        batch_size, shuffle, print_every, save_path, rel,
-                       history, chunk_len):
-        """Drive training in fused chunks (see _build_chunk_fn)."""
+                       history, chunk_len, use_kernel=False):
+        """Drive training in fused chunks (see _build_chunk_fn).
+
+        ``use_kernel`` is the per-call resolution of ``use_train_kernel``
+        (False | True | 'interpret') from :meth:`train`."""
         if val_loader is not None:
             vb = val_loader(0)
             val_t, val_v, val_m = vb.times, vb.values, vb.mask
@@ -787,10 +811,13 @@ class Trainer:
 
         def get_fn(L):
             if L not in fns:
-                build = (self._build_kernel_chunk_fn if self.use_train_kernel
-                         else self._build_chunk_fn)
-                fns[L] = build(loader, rel, batch_size, shuffle, L,
-                               print_every)
+                if use_kernel:
+                    fns[L] = self._build_kernel_chunk_fn(
+                        loader, rel, batch_size, shuffle, L, print_every,
+                        interpret=(use_kernel == "interpret"))
+                else:
+                    fns[L] = self._build_chunk_fn(loader, rel, batch_size,
+                                                  shuffle, L, print_every)
             return fns[L]
 
         self._rng, key = jax.random.split(self._rng)

@@ -626,3 +626,69 @@ def test_trainer_kernel_mean_only_matches_xla(variance_method):
                     jax.tree_util.tree_leaves(p_k)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=2e-6)
+
+
+def test_auto_mode_not_consumed_by_train():
+    """'auto' stays 'auto' across train() calls (the resolution is
+    per-call): before the r3e fix the first train() overwrote the
+    attribute with the resolved boolean, so a later call with
+    kernel-ineligible arguments would hard-error from _train_kernel_check
+    instead of quietly running XLA."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd = 1e-3, 5e-4
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    tr = Trainer(model, make_adam(lr, wd), ignore_first_continuity=True,
+                 use_train_kernel="auto",
+                 train_kernel_opts=dict(lr=lr, weight_decay=wd))
+    train_fn, val_fn = create_data_loaders(
+        process_type="black_scholes", n_train=2 * BS, n_val=8,
+        obs_fraction=N / 100.0, cache_data=True, base_seed=0,
+        obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+    tr.train(train_fn, val_fn, n_epochs=1, batch_size=BS, print_every=1)
+    assert tr.use_train_kernel == "auto"
+    # second call with a kernel-incompatible batch size: auto's contract
+    # is a quiet XLA run, never a _train_kernel_check error
+    tr.train(train_fn, val_fn, n_epochs=2, batch_size=BS - 3, print_every=1)
+    assert tr.use_train_kernel == "auto"
+
+
+def test_trainer_kernel_custom_betas_match_xla():
+    """train_kernel_opts' optional betas/adam_eps reach the kernel: a
+    non-default Adam (b1=0.8, b2=0.95, eps=1e-6) trains identically
+    through use_train_kernel='interpret' and the XLA optax path."""
+    from njode_tpu.utils.training import Trainer, create_data_loaders
+
+    lr, wd, betas, eps = 1e-3, 5e-4, (0.8, 0.95), 1e-6
+
+    def run(kernel):
+        model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                              num_moments=2)
+        tx = optax.chain(optax.add_decayed_weights(wd),
+                         optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                             eps=eps),
+                         optax.scale(-lr))
+        tr = Trainer(model, tx, ignore_first_continuity=True,
+                     moment_weights=[1.0, 10.0], seed=0,
+                     use_train_kernel=("interpret" if kernel else False),
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd,
+                                            betas=betas, adam_eps=eps))
+        train_fn, val_fn = create_data_loaders(
+            process_type="black_scholes", n_train=2 * BS, n_val=8,
+            obs_fraction=N / 100.0, cache_data=True, base_seed=0,
+            obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+        hist = tr.train(train_fn, val_fn, n_epochs=3, batch_size=BS,
+                        print_every=1)
+        return hist, tr.params
+
+    h_x, p_x = run(False)
+    h_k, p_k = run(True)
+    np.testing.assert_allclose(np.asarray(h_k["train_loss"]),
+                               np.asarray(h_x["train_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_k["val_loss"]),
+                               np.asarray(h_x["val_loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_x),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
