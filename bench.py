@@ -215,8 +215,16 @@ def main():
             and not args.shared_network and args.dt_ode_step is None
             and args.ode_solver == "euler"
             and args.compute_dtype == "float32"
-            and args.hidden_dim <= 128):
+            and args.hidden_dim <= 128
+            and bs % 8 == 0 and bs <= 256):
         args.pallas_train = auto_train_kernel = True
+
+    if args.pallas_train and platform != "tpu":
+        # the kernel is Mosaic-only and bench reports real timings — the
+        # interpreter would be both broken-slow and dishonest here (the
+        # Trainer CLI path is where the interpreter fallback lives)
+        raise SystemExit("--pallas-train: requires a real TPU backend "
+                         f"(running on {platform})")
 
     if args.pallas_train:
         # the whole-run training kernel: identical recipe (fresh data per
@@ -232,7 +240,8 @@ def main():
         eligible = (train_kernel_available(
             args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
             args.dt_ode_step, args.ode_solver)
-            and args.compute_dtype == "float32" and args.hidden_dim <= 128)
+            and args.compute_dtype == "float32" and args.hidden_dim <= 128
+            and bs % 8 == 0 and bs <= 256)
         N_slots = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
                                      args.obs_fraction, obs_only=obs_only,
                                      **P).times.shape[1])
@@ -242,7 +251,8 @@ def main():
                 raise SystemExit(
                     "--pallas-train: config not eligible (needs separate "
                     "networks, no --dt-ode-step, euler, f(0)=0 activation, "
-                    "float32, hidden_dim <= 128, obs slots <= 63)")
+                    "float32, hidden_dim <= 128, obs slots <= 63, "
+                    "batch size a multiple of 8 and <= 256)")
             args.pallas_train = False
         else:
             log(f"bench: whole-run training kernel engaged "

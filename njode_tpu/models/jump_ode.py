@@ -216,9 +216,12 @@ class NeuralJumpODE:
             # measured-win regime only (scripts/measure_scaled_step.py,
             # BENCH_NOTES.md r3d): MXU-bound configs — hidden >= 192 with
             # a large folded row count; smaller points measured neutral
-            # or inconclusive and stay on XLA.
+            # or inconclusive and stay on XLA.  Shared-network configs
+            # measured SLOWER in the kernel (0.91x, BENCH_NOTES r3b) —
+            # the shared mode is opt-in ('step') only.
             from ..ops.fused_step import AUTO_MIN_HIDDEN, AUTO_MIN_ROWS
             if (not self._step_eligible
+                    or self.shared_network
                     or self.hidden_dim < AUTO_MIN_HIDDEN
                     or n_rows < AUTO_MIN_ROWS
                     or self.compute_dtype not in (None, jnp.bfloat16)):

@@ -132,16 +132,19 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     SCt = jnp.sqrt(ac + eps_loss)
     T0m = jnp.where(lane_n, (SA + SCt) ** 2, 0.0)
 
+    # mean term: one definition for both K=1 and K=2 (a reduction-order or
+    # eps fix here cannot diverge mean-only from mean+variance training)
+    inv_n = 1.0 / float(N)
+    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
+    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
+    wrow = validc / NV                                   # (RT, 1)
+    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
+    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
+                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
+
     if K == 1:
-        inv_n = 1.0 / float(N)
-        L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n
-        NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)
         L = jnp.sum(w0m * L0 * validc, keepdims=True) / NV
-        wrow = validc / NV
-        gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
-                        * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
-        gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
-                        * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
         return L, gA0, gB0, None, None
 
     if variance_method == "direct":
@@ -160,18 +163,10 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     SVC = jnp.sqrt(avc + eps_loss)
     T1m = jnp.where(lane_n, (SVA + SVC) ** 2, 0.0)
 
-    inv_n = 1.0 / float(N)
-    L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
     L1 = jnp.sum(T1m, axis=1, keepdims=True) * inv_n
-    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
     Ltraj = (w0m * L0 + w1m * L1) * validc
     L = jnp.sum(Ltraj, keepdims=True) / NV               # (1, 1)
 
-    wrow = validc / NV                                   # (RT, 1)
-    gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
-    gB0 = jnp.where(lane_cont, wrow * (w0m * inv_n)
-                    * ((SA + SCt) / SCt) * 2.0 * (B0m - xm), 0.0)
     if variance_method == "direct":
         dV_dA1 = 2.0 * A1m                               # V = W^2
         dVb_dB1 = 2.0 * B1m

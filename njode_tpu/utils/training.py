@@ -1284,6 +1284,7 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
         }
 
     t_chunk = [_time.perf_counter()]
+    first_chunk = [True]
 
     def on_chunk(next_epoch, p, o, merged):
         now = _time.perf_counter()
@@ -1305,8 +1306,13 @@ def _run_ensemble_experiment(config: Dict, model, save_path, n_seeds: int,
         if h["relative_loss"]:
             msg += f" | Rel Loss: {h['relative_loss'][-1]:.4f}"
         msg += f" | Time: {per_epoch:.2f}s"
-        if resumed and next_epoch - len(new_rows["train"]) == start_epoch:
+        # mark only the FIRST progress line after a resume (matching the
+        # single-model paths' `epoch == start_epoch`): `merged` is
+        # cumulative since start_epoch, so an arithmetic test on its
+        # length is tautologically true on every chunk
+        if resumed and first_chunk[0]:
             msg += " (resumed)"
+        first_chunk[0] = False
         print(msg, flush=True)
         # collective: every process calls (orbax saves shards collectively;
         # msgpack writes on process 0 and barriers inside)

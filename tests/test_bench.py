@@ -36,3 +36,17 @@ def test_bench_quick_contract(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     p2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert p2["n_epochs"] == 3
+
+
+def test_bench_pallas_train_requires_tpu(tmp_path):
+    """Explicit --pallas-train fails fast with a clear message off TPU
+    instead of crashing inside an un-lowerable Mosaic program."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--quick", "--pallas-train"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode != 0
+    assert "requires a real TPU" in (r.stderr + r.stdout)

@@ -121,7 +121,7 @@ def test_ensemble_experiment_first_class(tmp_path):
     assert len(on_disk["val_loss"]) == 6
 
 
-def test_ensemble_experiment_resume(tmp_path):
+def test_ensemble_experiment_resume(tmp_path, capsys):
     """Preempted ensemble runs resume from the checkpoint and reproduce the
     uninterrupted run's members exactly."""
     import copy
@@ -131,10 +131,14 @@ def test_ensemble_experiment_resume(tmp_path):
                           save_dir=str(tmp_path / "full"))
 
     cfg = copy.deepcopy(ENS_CONFIG)
-    cfg["n_epochs"] = 4
+    cfg["n_epochs"] = 2                      # resumed run spans 2+ chunks
     run_experiment(cfg, save_dir=str(tmp_path / "split"))
     cfg2 = copy.deepcopy(ENS_CONFIG)         # back to 6 epochs
+    capsys.readouterr()                      # drop the pre-resume output
     res = run_experiment(cfg2, save_dir=str(tmp_path / "split"))
+    # only the FIRST progress line after the resume carries the marker
+    # (the old cumulative-rows arithmetic tagged every chunk)
+    assert capsys.readouterr().out.count("(resumed)") == 1
     h = res["history"]
     assert h.get("resumed_from_checkpoint") is True
     assert len(h["train_loss"]) == 6

@@ -381,6 +381,14 @@ def test_auto_engages_fused_step_in_measured_regime(monkeypatch):
     # ineligible model configs stay on XLA even in the win regime
     assert mk(256, dropout_rate=0.3)._use_fused_step(2, n_rows=4096) is False
     assert mk(256, dt_ode_step=0.01)._use_fused_step(2, n_rows=4096) is False
+    # shared-network mode measured SLOWER in-kernel (0.91x, BENCH_NOTES
+    # r3b) — auto must never engage it; explicit 'step' still does
+    m_sh = mk(256, shared_network=True)
+    assert m_sh._use_fused_step(2, n_rows=4096) is False
+    m_sh_exp = NeuralJumpODE(input_dim=1, hidden_dim=256, output_dim=1,
+                             num_moments=2, use_pallas="step",
+                             shared_network=True)
+    assert m_sh_exp._use_fused_step(2, n_rows=4096) is True
     # too many slots for the lane packing
     assert m._use_fused_step(70, n_rows=4096) is False
     # explicit modes unchanged by the n_rows argument
