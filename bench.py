@@ -209,14 +209,23 @@ def main():
     # default-recipe shapes (BENCH_NOTES.md r3b: 2.69M vs 2.28M traj/s
     # same-run) — default it on for eligible small-model TPU configs,
     # exactly like --scaled defaults to the fused-step kernel
+    # ONE eligibility predicate for the whole-run training kernel, shared
+    # between the auto-engage decision and the explicit --pallas-train
+    # check (a constraint edited in only one copy silently diverges them).
+    # The bench model is fixed at d_x=d_y=1, one hidden layer, relu,
+    # identity scaling, no dropout.
+    from njode_tpu.ops.train_kernel import (LANES, batch_size_ok,
+                                            train_kernel_available)
+    kernel_cfg_ok = (train_kernel_available(
+        args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+        args.dt_ode_step, args.ode_solver)
+        and args.compute_dtype == "float32"
+        and args.hidden_dim <= LANES and batch_size_ok(bs))
+
     auto_train_kernel = False
-    if (platform == "tpu" and not args.pallas_train and not args.pallas
-            and not args.pallas_step and not args.no_pallas
-            and not args.shared_network and args.dt_ode_step is None
-            and args.ode_solver == "euler"
-            and args.compute_dtype == "float32"
-            and args.hidden_dim <= 128
-            and bs % 8 == 0 and bs <= 256):
+    if (platform == "tpu" and kernel_cfg_ok and not args.pallas_train
+            and not args.pallas and not args.pallas_step
+            and not args.no_pallas):
         args.pallas_train = auto_train_kernel = True
 
     if args.pallas_train and platform != "tpu":
@@ -235,17 +244,11 @@ def main():
         from njode_tpu.ops.train_kernel import (fused_train_run,
                                                 init_train_state,
                                                 pack_minibatches,
-                                                train_kernel_available,
                                                 train_state_params)
-        eligible = (train_kernel_available(
-            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
-            args.dt_ode_step, args.ode_solver)
-            and args.compute_dtype == "float32" and args.hidden_dim <= 128
-            and bs % 8 == 0 and bs <= 256)
         N_slots = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
                                      args.obs_fraction, obs_only=obs_only,
                                      **P).times.shape[1])
-        eligible = eligible and (2 * N_slots + 1 <= 128)
+        eligible = kernel_cfg_ok and (2 * N_slots + 1 <= LANES)
         if not eligible:
             if not auto_train_kernel:
                 raise SystemExit(

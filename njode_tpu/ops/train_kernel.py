@@ -100,6 +100,18 @@ def train_kernel_available(shared_network, input_dim, output_dim,
             and packed_state_safe(activation, input_scaling))
 
 
+# The minibatch is the kernel's VMEM row tile: it must be sublane-aligned
+# (f32 tiles are 8 rows) and small enough that rows + params + Adam state
+# fit VMEM together.  ONE definition, shared by every caller (Trainer
+# checks, bench eligibility, and fused_train_run itself).
+MAX_BATCH_ROWS = 256
+
+
+def batch_size_ok(batch_size) -> bool:
+    return (batch_size is not None and batch_size > 0
+            and batch_size % 8 == 0 and batch_size <= MAX_BATCH_ROWS)
+
+
 # --------------------------------------------------------------------------
 # math shared by the classic and dual-pack kernels
 # --------------------------------------------------------------------------
@@ -977,6 +989,10 @@ def fused_train_run(state, data, *, n_slots: int, num_moments: int,
     if not packed_state_safe(activation, input_scaling):
         raise ValueError(f"train kernel: {activation}/{input_scaling} does "
                          "not preserve zero padding")
+    if not batch_size_ok(batch_size):
+        raise ValueError(f"train kernel: batch_size {batch_size} must be a "
+                         f"positive multiple of 8 and <= {MAX_BATCH_ROWS} "
+                         "(the minibatch is the kernel's VMEM row tile)")
     if data.shape[0] % batch_size:
         raise ValueError("train kernel: data rows must be a whole number "
                          "of minibatches")

@@ -312,7 +312,8 @@ class Trainer:
     def _train_kernel_check(self, batch_size: Optional[int]):
         """Fail fast (with every problem listed) when the whole-run kernel
         can't represent this training setup."""
-        from ..ops.train_kernel import train_kernel_available
+        from ..ops.train_kernel import (MAX_BATCH_ROWS, batch_size_ok,
+                                        train_kernel_available)
         m = self.model
         problems = []
         if not train_kernel_available(
@@ -337,9 +338,10 @@ class Trainer:
             problems.append("extended_moments unsupported")
         if self.mesh is not None:
             problems.append("data/model-parallel meshes unsupported")
-        if batch_size is None or batch_size % 8 or batch_size > 256:
-            problems.append("batch_size must be a multiple of 8 and <= 256 "
-                            "(the minibatch is the kernel's VMEM row tile)")
+        if not batch_size_ok(batch_size):
+            problems.append("batch_size must be a multiple of 8 and <= "
+                            f"{MAX_BATCH_ROWS} (the minibatch is the "
+                            "kernel's VMEM row tile)")
         for k in ("lr", "weight_decay"):
             if k not in self.train_kernel_opts:
                 problems.append(f"train_kernel_opts missing {k!r}")

@@ -8,6 +8,12 @@ backend adds a ~36 ms fixed per-execute transport constant plus one-sided
 jitter, so only the difference between an M-epoch and a 4M-epoch program,
 divided by 3M, is an honest per-epoch number).
 
+NOTE: the 'full' stage hand-mirrors bench.py's kernel-path train_all
+composition (pad -> pack_minibatches -> fused_train_run with the default
+recipe's lr 1e-3 / wd 5e-4 / weights (1, 10) / hidden 32) as of r3f; if
+bench's default recipe changes, update this probe in the same commit or
+its published attribution goes stale.
+
 Stages (cumulative, exactly the bench composition):
   times   - observation slots + times only (Floyd subset + arithmetic)
   datagen - + exact BS values at the obs times (full simulate_batch)
@@ -73,7 +79,7 @@ def main():
     N_slots = int(simulate_batch(jax.random.PRNGKey(0), 1, "black_scholes",
                                  0.1, obs_only=True, **P).times.shape[1])
 
-    def epoch_data(key, e, values_too=True):
+    def epoch_data(key, e):
         k_data, _ = jax.random.split(jax.random.fold_in(key, e))
         b = simulate_batch(k_data, n, "black_scholes", 0.1, obs_only=True,
                            **P)
@@ -140,9 +146,18 @@ def main():
 
     M = args.m
     base_key = jax.random.fold_in(jax.random.PRNGKey(17), nonce)
+    # the [stage-only] column differences consecutive CUMULATIVE stages, so
+    # the requested list must be an in-order subsequence of the canonical
+    # stage order — reject anything else rather than print wrong attribution
+    canonical = ["times", "datagen", "pack", "full"]
+    stages = args.stages.split(",")
+    order = [canonical.index(s) for s in stages if s in canonical]
+    if len(order) != len(stages) or order != sorted(order):
+        raise SystemExit(f"--stages must be an in-order subset of "
+                         f"{','.join(canonical)} (got {args.stages})")
     print(f"{'stage':>8s} {'ms/epoch':>9s}  (deltas over reps)")
     prev = 0.0
-    for stage in args.stages.split(","):
+    for stage in stages:
         f1, f4 = build(stage, M), build(stage, 4 * M)
         # warmup both programs (first execute pays variable transport)
         timed(f1, jax.random.fold_in(base_key, 990))

@@ -374,6 +374,26 @@ def test_availability_gating():
                                       "identity", None)   # dropout
 
 
+def test_fused_train_run_rejects_bad_batch_size():
+    """The VMEM row-tile constraints are enforced by the kernel API itself,
+    not just by the Trainer/bench callers."""
+    from njode_tpu.ops.train_kernel import MAX_BATCH_ROWS, batch_size_ok
+
+    assert batch_size_ok(8) and batch_size_ok(MAX_BATCH_ROWS)
+    for bad in (None, 0, -8, 12, MAX_BATCH_ROWS + 8):
+        assert not batch_size_ok(bad)
+
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2)
+    st = init_train_state(model.init(jax.random.PRNGKey(0)),
+                          num_moments=2, hidden_dim=H)
+    times, values = _data(24)
+    data = pack_minibatches(times, values, jnp.ones(24, bool), 12)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fused_train_run(st, data, n_slots=N, num_moments=2, batch_size=12,
+                        lr=1e-3, interpret=True)
+
+
 @pytest.mark.parametrize("variance_method", ["direct", "second_moment"])
 def test_dual_pack_matches_classic(monkeypatch, variance_method):
     """The block-diagonal dual-pack layout (hidden <= BLOCK, K = 2: both
