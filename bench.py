@@ -72,6 +72,14 @@ def main():
                          "exact transition laws, so the training-data "
                          "distribution is identical); auto enables it for "
                          "those processes")
+    ap.add_argument("--grid-walk", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="integrate all --dt-ode-step gaps with ONE "
+                         "time-major walk over the integration grid "
+                         "(~n_slots x fewer ODE evals, exact-arithmetic-"
+                         "identical; needs grid-aligned times); auto = "
+                         "per-gap loops for now (XLA walk measured "
+                         "neutral-to-slower, BENCH_NOTES.md r3g)")
     ap.add_argument("--pallas", action="store_true",
                     help="FORCE the Pallas kernels on (use_pallas=True) for "
                          "A/B experiments; the default pure-XLA path "
@@ -153,6 +161,10 @@ def main():
     }
     P = dict(T=1.0, n_steps=args.n_steps, **PROCESS_PARAMS[args.process])
     WEIGHTS = [1.0, 10.0]
+    from njode_tpu.utils.training import _resolve_grid_walk
+    grid_walk = _resolve_grid_walk({
+        "grid_walk": args.grid_walk, "dt_ode_step": args.dt_ode_step,
+        "data": {"T": P["T"], "n_steps": args.n_steps}})
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,
                           activation="relu", variance_method="direct",
@@ -161,7 +173,7 @@ def main():
                           use_pallas=("step" if args.pallas_step
                                       else True if args.pallas else False),
                           compute_dtype=args.compute_dtype,
-                          ode_solver=args.ode_solver)
+                          ode_solver=args.ode_solver, grid_walk=grid_walk)
     tx = make_adam(1e-3, 5e-4)
 
     n, bs, E = args.n_train, args.batch_size, args.n_epochs

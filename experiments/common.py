@@ -153,6 +153,18 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'auto (default) = on for processes with exact '
                              'transition laws, off otherwise; nothing in the '
                              'training path reads the dense grid')
+    parser.add_argument('--grid-walk', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='Integrate all --dt-ode-step gaps with one '
+                             'time-major walk over the integration grid '
+                             '(~n_slots x fewer ODE evaluations; exact-'
+                             'arithmetic-identical to the per-gap loops; '
+                             'requires every observation time to be a '
+                             'multiple of --dt-ode-step). auto (default) '
+                             'currently keeps the per-gap loops — the XLA '
+                             'walk measured neutral-to-slower '
+                             '(BENCH_NOTES.md r3g); no effect without '
+                             '--dt-ode-step')
     parser.add_argument('--ode-solver', type=str, default='euler',
                         choices=['euler', 'heun', 'rk4'],
                         help='Latent-ODE integrator (euler = reference '
@@ -274,6 +286,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "ensemble_lrs": ensemble_lrs,
         "use_pallas": {"off": False, "auto": "auto", "force": True,
                        "step": "step", "train": "train"}[args.kernels],
+        "grid_walk": args.grid_walk,
         "debug_checks": args.debug_checks,
         "seed": args.seed,
         "data_seed": args.data_seed,

@@ -82,6 +82,16 @@ def _raise_on_substep_deficit(bad, deficit, max_substeps, dt_ode_step):
             f"the largest observation gap (or pass max_substeps explicitly).")
 
 
+def _raise_on_grid_misalignment(bad, worst, dt_ode_step):
+    """Host side of the ``debug_checks`` grid-walk alignment assert."""
+    if bad:
+        raise ValueError(
+            f"grid_walk=True but an observation time is off the integration "
+            f"grid (worst offset {float(worst):.3g} from a multiple of "
+            f"dt_ode_step={float(dt_ode_step)}) or beyond it; disable "
+            "grid_walk for off-grid data or enlarge t_max.")
+
+
 class NeuralJumpODE:
     """Pure-functional Neural Jump ODE.
 
@@ -114,7 +124,8 @@ class NeuralJumpODE:
                  variance_method: str = "direct",
                  t_max: float = 1.0, max_substeps: Optional[int] = None,
                  use_pallas=False, dtype=jnp.float32, compute_dtype=None,
-                 ode_solver: str = "euler", debug_checks: bool = False):
+                 ode_solver: str = "euler", debug_checks: bool = False,
+                 grid_walk: bool = False):
         self.input_dim = input_dim
         self.hidden_dim = hidden_dim
         self.output_dim = output_dim
@@ -149,6 +160,19 @@ class NeuralJumpODE:
             raise ValueError(f"Unknown ode_solver: {ode_solver!r} "
                              "(one of 'euler', 'heun', 'rk4')")
         self.ode_solver = ode_solver
+
+        # grid_walk=True is the caller's STATIC promise that every valid
+        # observation time in ``apply`` batches sits on the integration grid
+        # {g * dt_ode_step} and is strictly increasing per row; ``apply``
+        # then integrates all gaps with ONE time-major walk over that grid
+        # (~n_slots x fewer ODEFunc evaluations than the per-gap predicated
+        # substep loops, same exact-arithmetic semantics).  run_experiment
+        # turns it on automatically when the data config guarantees
+        # alignment (dt_ode_step divides the simulation grid spacing).
+        if grid_walk and dt_ode_step is None:
+            raise ValueError("grid_walk=True requires dt_ode_step (gaps "
+                             "without substeps are already a single step)")
+        self.grid_walk = bool(grid_walk)
 
         self._act = get_activation(activation)
         self._scale = get_input_scaling(input_scaling)
@@ -489,6 +513,140 @@ class NeuralJumpODE:
         h_final = self._euler(params, h, x_last, t_cur, t_target, r)
         return jnp.where(pred2[None, :, None], h_final, h)
 
+    def _integrate_gaps_grid(self, params: Params, h_jump: jnp.ndarray,
+                             times: jnp.ndarray, values: jnp.ndarray,
+                             mask: Optional[jnp.ndarray],
+                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """All inter-observation gaps as ONE time-major walk over the static
+        integration grid ``{g * dt_ode_step : g = 0..M}``.
+
+        The per-gap form (:meth:`_integrate_gap` under ``apply``'s folded
+        (B*S) rows) runs ``max_substeps`` predicated solver steps for EVERY
+        gap, so a batch pays ``n_gaps * ceil(t_max/dt)`` ODEFunc
+        evaluations per trajectory even though the gaps of one trajectory
+        tile ``[0, t_max]`` and only need ``~t_max/dt`` total.  When every
+        observation time sits ON the integration grid (always true for
+        simulated data whose grid spacing is a multiple of ``dt_ode_step``),
+        a grid gap of ``k*dt`` integrates as exactly ``k`` uniform solver
+        steps — the reference's ``while t+dt < t_next`` full steps plus the
+        final partial step collapse to that in exact arithmetic (the
+        partial step has ``t_elapsed = dt``; reference
+        models/jump_ode.py:196-202).  So ONE walk over the M grid cells,
+        carrying (h, x_last, t_cur) for all B rows and resetting the carry
+        at observation cells, computes every gap of every row
+        simultaneously: same sequential depth as one predicated gap loop,
+        ``n_gaps`` x less work.  Float caveat: the walk's time accumulation
+        takes k full ``t += dt`` updates where the per-gap loop takes k-1
+        plus a boundary-rounded partial step, so time FEATURES differ by
+        ~1 ulp — outputs match the per-gap path to f32 roundoff, not
+        bit-for-bit (pinned in tests/test_grid_walk.py, exactly in f64).
+
+        h_jump: (K_h, B, N, d_h) after-jump states for all slots.
+        Returns h_minus (K_h, B*S, d_h), the pre-jump state at slots 1..N-1.
+        """
+        dt = jnp.asarray(self.dt_ode_step, dtype=times.dtype)
+        M = self.max_substeps
+        B, N = times.shape
+        K_h, d_h, d_x = h_jump.shape[0], self.hidden_dim, values.shape[-1]
+
+        g_idx = jnp.round(times / dt).astype(jnp.int32)         # (B, N)
+        if self.debug_checks:
+            on_grid = jnp.abs(g_idx.astype(times.dtype) * dt - times)
+            if mask is not None:
+                on_grid = jnp.where(mask, on_grid, 0.0)
+            worst = jnp.max(on_grid)
+            bad = (worst > 1e-4 * jnp.maximum(dt, 1.0)) | (jnp.max(
+                jnp.where(mask, g_idx, 0) if mask is not None else g_idx) > M)
+            jax.debug.callback(_raise_on_grid_misalignment, bad, worst,
+                               self.dt_ode_step)
+        g_idx = jnp.clip(g_idx, 0, M)
+        # padded slots scatter into a dump cell the walk never visits
+        slot_g = g_idx if mask is None else jnp.where(mask, g_idx, M + 1)
+
+        # grid-major layout: cell g of row b holds that row's observation at
+        # t = g*dt (if any).  Valid times are strictly increasing per row,
+        # so scatter indices are unique per row (padding duplicates all land
+        # in the dump cell, where last-write-wins garbage is never read).
+        rows = jnp.arange(B)[:, None]
+        has = (jnp.zeros((B, M + 2), bool)
+               .at[rows, slot_g].set(True if mask is None else mask))
+        x_grid = (jnp.zeros((B, M + 2, d_x), values.dtype)
+                  .at[rows, slot_g].set(values))
+        t_grid = (jnp.zeros((B, M + 2), times.dtype)
+                  .at[rows, slot_g].set(times))
+        jump_grid = (jnp.zeros((B, M + 2, K_h, d_h), h_jump.dtype)
+                     .at[rows, slot_g].set(jnp.transpose(h_jump, (1, 2, 0, 3))))
+
+        # walk cells 0..M-1: emit the arriving (pre-jump) state, reset the
+        # carry where an observation sits at this cell, take one solver step
+        xs = (jnp.moveaxis(has[:, :M], 1, 0),              # (M, B)
+              jnp.moveaxis(x_grid[:, :M], 1, 0),           # (M, B, d_x)
+              jnp.moveaxis(t_grid[:, :M], 1, 0),           # (M, B)
+              jnp.moveaxis(jump_grid[:, :M], 1, 0),        # (M, B, K_h, d_h)
+              jnp.arange(M))
+
+        def body(carry, x):
+            h, x_last, t_cur = carry
+            has_g, x_g, t_g, jump_g, g = x
+            h_arrive = h
+            sel = has_g[None, :, None]
+            h = jnp.where(sel, jnp.transpose(jump_g, (1, 0, 2)), h)
+            x_last = jnp.where(has_g[:, None], x_g, x_last)
+            t_cur = jnp.where(has_g, t_g, t_cur)
+            r = None if rng is None else jax.random.fold_in(rng, g)
+            h = self._euler(params, h, x_last, t_cur, t_cur + dt, r)
+            return (h, x_last, t_cur + dt), h_arrive
+
+        init = (jnp.zeros((K_h, B, d_h), h_jump.dtype),
+                jnp.zeros((B, d_x), values.dtype),
+                jnp.zeros((B,), times.dtype))
+        (h_fin, _, _), h_arrives = lax.scan(body, init, xs)
+        h_arrives = jnp.concatenate([h_arrives, h_fin[None]], 0)  # (M+1,...)
+
+        # pre-jump state at slot i = the walk's arrival at that slot's cell
+        h_arr = jnp.transpose(h_arrives, (2, 0, 1, 3))            # (B, M+1, K_h, d_h)
+        h_minus = jnp.take_along_axis(
+            h_arr, g_idx[:, 1:, None, None], axis=1)              # (B, S, K_h, d_h)
+        return jnp.transpose(h_minus, (2, 0, 1, 3)).reshape(
+            K_h, B * (N - 1), d_h)
+
+    def _check_grid_alignment(self, times, mask) -> None:
+        """Concrete-input guard for ``grid_walk``: every valid observation
+        time must sit on the integration grid and be strictly increasing
+        per row (duplicate times would share one grid cell and lose the
+        reference's zero-length-gap semantics).  Traced inputs are covered
+        by the ``debug_checks=True`` in-graph assert instead."""
+        try:
+            import jax.core
+            if isinstance(times, jax.core.Tracer) or isinstance(
+                    mask, jax.core.Tracer):
+                return
+        except Exception:
+            return
+        import numpy as np
+        t = np.asarray(times)
+        m = np.ones(t.shape, bool) if mask is None else np.asarray(mask)
+        dt = self.dt_ode_step
+        off = np.abs(np.round(t / dt) * dt - t)
+        if float(np.max(np.where(m, off, 0.0))) > 1e-4 * max(dt, 1.0):
+            raise ValueError(
+                f"grid_walk=True but observation times are not multiples of "
+                f"dt_ode_step={dt} (worst offset "
+                f"{float(np.max(np.where(m, off, 0.0))):.3g}); disable "
+                "grid_walk for off-grid data")
+        both = m[:, 1:] & m[:, :-1]
+        if both.any() and float(np.min(
+                np.where(both, t[:, 1:] - t[:, :-1], np.inf))) < dt * 0.5:
+            raise ValueError(
+                "grid_walk=True requires strictly increasing observation "
+                "times (one observation per grid cell); found a duplicate "
+                "or sub-dt gap")
+        if float(np.max(np.where(m, t, 0.0))) > (self.max_substeps + 0.5) * dt:
+            raise ValueError(
+                f"grid_walk: an observation time exceeds the integration "
+                f"grid (max_substeps={self.max_substeps} x dt_ode_step={dt}); "
+                "construct the model with a larger t_max")
+
     def _check_substep_budget(self, times) -> None:
         """Guard against silent under-integration: the predicated substep
         loop has a static bound derived from ``t_max``; if an observation
@@ -610,13 +768,22 @@ class NeuralJumpODE:
 
         # ---- gaps: slot i-1 -> slot i, folded over (B, N-1) ----
         S = N - 1
-        h0 = (h_jump.reshape(self.k_hidden, B, N, self.hidden_dim)
-              [:, :, :-1].reshape(self.k_hidden, B * S, self.hidden_dim))
-        x_last = values[:, :-1].reshape(B * S, d_x)
-        t_last = times[:, :-1].reshape(B * S)
-        t_tgt = times[:, 1:].reshape(B * S)
-        h_minus = self._integrate_gap(params, h0, x_last, t_last, t_tgt,
-                                      r_gap)               # (K_h, B*S, d_h)
+        if self.grid_walk and self.dt_ode_step is not None:
+            # one time-major walk over the integration grid computes every
+            # gap at once (~S x fewer ODEFunc evals than the per-gap loops)
+            self._check_grid_alignment(times, mask)
+            h_minus = self._integrate_gaps_grid(
+                params,
+                h_jump.reshape(self.k_hidden, B, N, self.hidden_dim),
+                times, values, mask, r_gap)                # (K_h, B*S, d_h)
+        else:
+            h0 = (h_jump.reshape(self.k_hidden, B, N, self.hidden_dim)
+                  [:, :, :-1].reshape(self.k_hidden, B * S, self.hidden_dim))
+            x_last = values[:, :-1].reshape(B * S, d_x)
+            t_last = times[:, :-1].reshape(B * S)
+            t_tgt = times[:, 1:].reshape(B * S)
+            h_minus = self._integrate_gap(params, h0, x_last, t_last, t_tgt,
+                                          r_gap)           # (K_h, B*S, d_h)
         y_before_tail = self._readout(params, h_minus, r_out_b)
         y_before_tail = y_before_tail.reshape(B, S, self.output_dim,
                                               self.num_moments)

@@ -907,6 +907,58 @@ class Trainer:
 # run_experiment
 # --------------------------------------------------------------------------
 
+def _resolve_grid_walk(config: Dict) -> bool:
+    """``grid_walk='on'`` -> the time-major grid walk ('off' keeps the
+    per-gap loops; the model still eagerly validates concrete inputs).
+
+    'auto' currently resolves to OFF: the XLA lowering of the walk's
+    per-cell selects/streams measured neutral at batch 256 and 0.67x at
+    batch 2048 (BENCH_NOTES.md r3g — a plain 100-cell euler scan is 3 us/
+    iter but the select-heavy walk body is 17-54 us/iter), so the walk
+    only pays once the fused walk KERNEL carries it; auto will gate on
+    that kernel's measured-win regime.  Alignment itself (times are
+    ``obs_idx * (T/n_steps)``, simulation/sde.py) is checked by
+    :func:`_grid_walk_aligned` so 'auto' can engage safely later."""
+    setting = config.get("grid_walk", "auto")
+    dt = config.get("dt_ode_step")
+    if dt is None or setting in (False, "off", None, "auto"):
+        return False
+    return True
+
+
+def _grid_walk_aligned(config: Dict) -> bool:
+    """Does the data config GUARANTEE every observation time sits on the
+    integration grid?  True iff the simulation grid spacing T/n_steps is
+    an integer multiple of ``dt_ode_step``."""
+    dt = config.get("dt_ode_step")
+    if dt is None:
+        return False
+    data = config.get("data", {})
+    spacing = float(data.get("T", 1.0)) / int(data.get("n_steps", 100))
+    r = spacing / float(dt)
+    return round(r) >= 1 and abs(r - round(r)) < 1e-9
+
+
+def _use_grid_walk(config: Dict) -> bool:
+    """Resolve + statically validate the grid-walk request: inside the
+    jitted training step the model's concrete-input alignment check can't
+    see the data, so a misaligned ``--grid-walk on`` would silently
+    mis-integrate — reject it here from the static config instead."""
+    if not _resolve_grid_walk(config):
+        return False
+    if not _grid_walk_aligned(config):
+        data = config.get("data", {})
+        spacing = float(data.get("T", 1.0)) / int(data.get("n_steps", 100))
+        raise ValueError(
+            f"--grid-walk on: observation times are multiples of the "
+            f"simulation grid spacing T/n_steps = {spacing:g}, which is not "
+            f"an integer multiple of dt_ode_step = "
+            f"{config.get('dt_ode_step')} — the walk would integrate on a "
+            "grid the observations don't sit on. Choose dt_ode_step that "
+            "divides the grid spacing, or drop --grid-walk.")
+    return True
+
+
 def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     """Complete training experiment (reference utils/training.py:349-438).
 
@@ -1014,6 +1066,7 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         ode_solver=config.get("ode_solver", "euler"),
         use_pallas=use_pallas_cfg,
         debug_checks=config.get("debug_checks", False),
+        grid_walk=_use_grid_walk(config),
     )
 
     if n_ensemble > 1:
