@@ -78,8 +78,9 @@ def main():
                          "time-major walk over the integration grid "
                          "(~n_slots x fewer ODE evals, exact-arithmetic-"
                          "identical; needs grid-aligned times); auto = "
-                         "per-gap loops for now (XLA walk measured "
-                         "neutral-to-slower, BENCH_NOTES.md r3g)")
+                         "on when the fused walk kernel carries it "
+                         "(TPU, eligible config — 2.3x on the production "
+                         "step, BENCH_NOTES.md r3h)")
     ap.add_argument("--pallas", action="store_true",
                     help="FORCE the Pallas kernels on (use_pallas=True) for "
                          "A/B experiments; the default pure-XLA path "
@@ -161,17 +162,26 @@ def main():
     }
     P = dict(T=1.0, n_steps=args.n_steps, **PROCESS_PARAMS[args.process])
     WEIGHTS = [1.0, 10.0]
-    from njode_tpu.utils.training import _resolve_grid_walk
-    grid_walk = _resolve_grid_walk({
-        "grid_walk": args.grid_walk, "dt_ode_step": args.dt_ode_step,
-        "data": {"T": P["T"], "n_steps": args.n_steps}})
+    # kernel policy for the model: explicit force flags win; otherwise
+    # 'auto' (measured-win regimes only: the fused walk kernel for aligned
+    # --dt-ode-step recipes, the fused-step kernel at hidden >= 192 —
+    # identical to pure XLA everywhere else)
+    use_pallas = ("step" if args.pallas_step else True if args.pallas
+                  else False if args.no_pallas else "auto")
+    from njode_tpu.utils.training import _use_grid_walk
+    grid_walk = _use_grid_walk(
+        {"grid_walk": args.grid_walk, "dt_ode_step": args.dt_ode_step,
+         "ode_solver": args.ode_solver, "hidden_dim": args.hidden_dim,
+         "shared_network": args.shared_network,
+         "compute_dtype": args.compute_dtype,
+         "data": {"T": P["T"], "n_steps": args.n_steps}},
+        platform=platform, single_device=True, use_pallas_cfg=use_pallas)
     model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
                           output_dim=1, num_moments=2, n_hidden_layers=1,
                           activation="relu", variance_method="direct",
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
-                          use_pallas=("step" if args.pallas_step
-                                      else True if args.pallas else False),
+                          use_pallas=use_pallas,
                           compute_dtype=args.compute_dtype,
                           ode_solver=args.ode_solver, grid_walk=grid_walk)
     tx = make_adam(1e-3, 5e-4)

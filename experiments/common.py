@@ -161,10 +161,13 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'arithmetic-identical to the per-gap loops; '
                              'requires every observation time to be a '
                              'multiple of --dt-ode-step). auto (default) '
-                             'currently keeps the per-gap loops — the XLA '
-                             'walk measured neutral-to-slower '
-                             '(BENCH_NOTES.md r3g); no effect without '
-                             '--dt-ode-step')
+                             '= on exactly when the fused walk KERNEL '
+                             'carries it (real TPU, --kernels auto, '
+                             'kernel-eligible config, aligned grid — '
+                             'measured 2.3x on the production step; the '
+                             'pure-XLA walk measured slower and is only '
+                             'used under an explicit "on"); no effect '
+                             'without --dt-ode-step')
     parser.add_argument('--ode-solver', type=str, default='euler',
                         choices=['euler', 'heun', 'rk4'],
                         help='Latent-ODE integrator (euler = reference '

@@ -274,6 +274,31 @@ class NeuralJumpODE:
         return (self._fused_eligible and self.use_pallas not in (False, "auto")
                 and self._pallas_on())
 
+    def _use_walk_kernel(self, n_rows: int = 0) -> bool:
+        """Route ``grid_walk`` integration through the fused walk kernel
+        (ops/walk_scan.py).  The XLA walk's per-cell selects/streams lower
+        poorly (17-54 us/cell vs ~3 us for a plain scan, BENCH_NOTES r3g);
+        in the kernel they are free VPU selects on a VMEM-resident carry.
+        'auto' additionally bounds the row count: the kernel's dense
+        128-lane per-cell streams scale with rows x cells and lose to the
+        per-gap XLA path at large batches (measured, BENCH_NOTES r3h)."""
+        from ..ops.walk_scan import AUTO_MAX_ROWS, walk_scan_available
+        if not walk_scan_available(self.n_hidden_layers, self._act_key,
+                                   self.dropout_rate, self._scale_key,
+                                   self.input_dim, self.hidden_dim):
+            return False
+        if (self.compute_dtype is not None or self.ode_solver != "euler"
+                or self.num_moments > 8):
+            return False
+        if self.use_pallas == "interpret":
+            return True
+        if self.use_pallas == "auto" and n_rows > AUTO_MAX_ROWS:
+            return False
+        if self.use_pallas in (True, "auto", "step"):
+            import jax as _jax
+            return _jax.default_backend() == "tpu"
+        return False
+
     def _use_gap_scan(self, n_rows: int, inference: bool = False) -> bool:
         if not (self._gap_eligible and self._pallas_on()):
             return False
@@ -560,6 +585,15 @@ class NeuralJumpODE:
             jax.debug.callback(_raise_on_grid_misalignment, bad, worst,
                                self.dt_ode_step)
         g_idx = jnp.clip(g_idx, 0, M)
+
+        if rng is None and self._use_walk_kernel(n_rows=times.shape[0]):
+            from ..ops.walk_scan import walk_gaps_fused
+            return walk_gaps_fused(
+                params["ode"]["layers"], h_jump, self._scale(values),
+                times, mask, g_idx, self.dt_ode_step, M,
+                self._act_key, self._scale_key,
+                interpret=(self.use_pallas == "interpret"))
+
         # padded slots scatter into a dump cell the walk never visits
         slot_g = g_idx if mask is None else jnp.where(mask, g_idx, M + 1)
 
@@ -768,7 +802,14 @@ class NeuralJumpODE:
 
         # ---- gaps: slot i-1 -> slot i, folded over (B, N-1) ----
         S = N - 1
-        if self.grid_walk and self.dt_ode_step is not None:
+        # grid_walk = permission to walk; under 'auto' kernels the engine
+        # only takes it where the fused walk kernel carries it (measured
+        # win regime) — oversized batches keep the per-gap path, never the
+        # slow pure-XLA walk (BENCH_NOTES r3g/r3h)
+        use_walk = self.grid_walk and self.dt_ode_step is not None
+        if use_walk and self.use_pallas == "auto":
+            use_walk = self._use_walk_kernel(n_rows=B)
+        if use_walk:
             # one time-major walk over the integration grid computes every
             # gap at once (~S x fewer ODEFunc evals than the per-gap loops)
             self._check_grid_alignment(times, mask)

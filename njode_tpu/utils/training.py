@@ -907,23 +907,45 @@ class Trainer:
 # run_experiment
 # --------------------------------------------------------------------------
 
-def _resolve_grid_walk(config: Dict) -> bool:
-    """``grid_walk='on'`` -> the time-major grid walk ('off' keeps the
-    per-gap loops; the model still eagerly validates concrete inputs).
-
-    'auto' currently resolves to OFF: the XLA lowering of the walk's
-    per-cell selects/streams measured neutral at batch 256 and 0.67x at
-    batch 2048 (BENCH_NOTES.md r3g — a plain 100-cell euler scan is 3 us/
-    iter but the select-heavy walk body is 17-54 us/iter), so the walk
-    only pays once the fused walk KERNEL carries it; auto will gate on
-    that kernel's measured-win regime.  Alignment itself (times are
-    ``obs_idx * (T/n_steps)``, simulation/sde.py) is checked by
-    :func:`_grid_walk_aligned` so 'auto' can engage safely later."""
+def _resolve_grid_walk(config: Dict,
+                       platform: Optional[str] = None,
+                       single_device: bool = True,
+                       use_pallas_cfg=None) -> bool:
+    """Grid-walk policy.  'on' -> the time-major walk unconditionally
+    ('off' -> per-gap loops).  'auto' engages exactly in the measured-win
+    regime: the fused walk KERNEL must carry it (real TPU, kernel-eligible
+    config, single device) — the pure-XLA walk measured neutral at batch
+    256 and 0.67x at 2048 (BENCH_NOTES.md r3g: the select-heavy scan body
+    lowers at 17-54 us/cell where a plain euler scan is 3 us), while the
+    kernel measured a win (r3h).  Alignment (times are
+    ``obs_idx * (T/n_steps)``, simulation/sde.py) is a hard precondition
+    either way."""
     setting = config.get("grid_walk", "auto")
     dt = config.get("dt_ode_step")
-    if dt is None or setting in (False, "off", None, "auto"):
+    if dt is None or setting in (False, "off", None):
         return False
-    return True
+    if setting in (True, "on"):
+        return True
+    # ---- auto: only when the fused walk kernel will carry the walk ----
+    if platform != "tpu" or not single_device:
+        return False
+    if use_pallas_cfg not in ("auto", True):
+        return False
+    if (config.get("ode_solver", "euler") != "euler"
+            or config.get("compute_dtype") not in (None, "float32", "none")
+            or int(config.get("ensemble", 0) or 0) > 1):
+        return False
+    if not _grid_walk_aligned(config):
+        return False
+    from ..models.activations import (canonical_activation,
+                                      canonical_input_scaling)
+    from ..ops.walk_scan import walk_scan_available
+    return walk_scan_available(
+        int(config.get("n_hidden_layers", 1)),
+        canonical_activation(config.get("activation", "relu")),
+        float(config.get("dropout_rate", 0.0)),
+        canonical_input_scaling(config.get("input_scaling", "identity")),
+        int(config.get("input_dim", 1)), int(config["hidden_dim"]))
 
 
 def _grid_walk_aligned(config: Dict) -> bool:
@@ -939,12 +961,15 @@ def _grid_walk_aligned(config: Dict) -> bool:
     return round(r) >= 1 and abs(r - round(r)) < 1e-9
 
 
-def _use_grid_walk(config: Dict) -> bool:
+def _use_grid_walk(config: Dict, platform: Optional[str] = None,
+                   single_device: bool = True,
+                   use_pallas_cfg=None) -> bool:
     """Resolve + statically validate the grid-walk request: inside the
     jitted training step the model's concrete-input alignment check can't
     see the data, so a misaligned ``--grid-walk on`` would silently
     mis-integrate — reject it here from the static config instead."""
-    if not _resolve_grid_walk(config):
+    if not _resolve_grid_walk(config, platform, single_device,
+                              use_pallas_cfg):
         return False
     if not _grid_walk_aligned(config):
         data = config.get("data", {})
@@ -1066,7 +1091,10 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         ode_solver=config.get("ode_solver", "euler"),
         use_pallas=use_pallas_cfg,
         debug_checks=config.get("debug_checks", False),
-        grid_walk=_use_grid_walk(config),
+        grid_walk=_use_grid_walk(
+            config, platform,
+            single_device=(mesh is None and n_ensemble <= 1),
+            use_pallas_cfg=use_pallas_cfg),
     )
 
     if n_ensemble > 1:

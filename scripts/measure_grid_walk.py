@@ -30,7 +30,7 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arms", type=str, default="pergap,walk")
+    ap.add_argument("--arms", type=str, default="pergap,walk,kernel")
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=50)
@@ -79,7 +79,11 @@ def main():
             variance_method="direct", t_max=1.0,
             shared_network=not args.separate,
             dt_ode_step=args.dt_ode_step, ode_solver=args.solver,
-            grid_walk=(arm == "walk"))
+            use_pallas=(True if arm == "kernel" else False),
+            grid_walk=(arm in ("walk", "kernel")))
+        if arm == "kernel" and not model._use_walk_kernel():
+            log(f"SKIP {arm}: walk kernel ineligible")
+            continue
         tx = make_adam(1e-3, 5e-4)
         params = model.init(jax.random.PRNGKey(0))
         opt_state = tx.init(params)

@@ -160,20 +160,32 @@ def test_walk_debug_checks_traced():
 
 
 def test_resolve_grid_walk_policy():
-    """'auto' stays on the per-gap path for now (the XLA walk measured
-    neutral-to-slower, BENCH_NOTES.md r3g); the alignment predicate that
-    a future kernel-gated auto needs is tested separately."""
+    """'auto' engages exactly in the fused walk kernel's measured-win
+    regime: TPU platform, kernels on auto, kernel-eligible config, and a
+    provably aligned grid (BENCH_NOTES.md r3g/r3h)."""
     from njode_tpu.utils.training import (_grid_walk_aligned,
                                           _resolve_grid_walk)
 
-    def cfg(dt, T=1.0, n=100, s="auto"):
-        return {"grid_walk": s, "dt_ode_step": dt,
-                "data": {"T": T, "n_steps": n}}
+    def cfg(dt, T=1.0, n=100, s="auto", **kw):
+        return {"grid_walk": s, "dt_ode_step": dt, "hidden_dim": 50,
+                "data": {"T": T, "n_steps": n}, **kw}
 
-    assert not _resolve_grid_walk(cfg(0.01))      # auto = off (measured)
-    assert not _resolve_grid_walk(cfg(None))      # nothing to walk
-    assert not _resolve_grid_walk(cfg(0.01, s="off"))
-    assert _resolve_grid_walk(cfg(0.02, s="on"))  # explicit caller promise
+    def auto(c, platform="tpu", single=True, kernels="auto"):
+        return _resolve_grid_walk(c, platform, single, kernels)
+
+    # the production config's shape engages under auto on TPU
+    assert auto(cfg(0.01))
+    assert not auto(cfg(0.01), platform="cpu")       # kernel is TPU-only
+    assert not auto(cfg(0.01), single=False)         # meshes keep per-gap
+    assert not auto(cfg(0.01), kernels=False)        # --kernels off
+    assert not auto(cfg(0.02))                       # misaligned grid
+    assert not auto(cfg(0.01, n_hidden_layers=2))    # kernel-ineligible
+    assert not auto(cfg(0.01, dropout_rate=0.1))
+    assert not auto(cfg(0.01, ode_solver="rk4"))
+    assert not auto(cfg(0.01, ensemble=4))
+    assert not auto(cfg(None))                       # nothing to walk
+    assert not _resolve_grid_walk(cfg(0.01, s="off"), "tpu", True, "auto")
+    assert _resolve_grid_walk(cfg(0.02, s="on"))     # explicit promise
 
     # alignment: spacing T/n_steps must be an integer multiple of dt
     assert _grid_walk_aligned(cfg(0.01))          # spacing == dt
