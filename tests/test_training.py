@@ -53,6 +53,44 @@ def test_adam_matches_torch(torch_reference):
                                rtol=1e-5, atol=2e-6)
 
 
+def test_flat_adam_matches_optax_chain():
+    """make_adam's default flat (raveled) math must match the per-leaf optax
+    chain under jit (bit-identical without weight decay; with weight decay,
+    XLA's fma fusion of g + wd*p may differ by ~1 ulp), with the exact same
+    state pytree structure (the checkpoint format and the whole-run
+    kernel's state conversion both depend on it)."""
+    import optax
+    rng = np.random.default_rng(7)
+    params = {"a": {"w": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+                    "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
+              "c": jnp.asarray(rng.normal(size=(2, 2, 2)), jnp.float32)}
+    gs = [jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params)
+        for _ in range(4)]
+
+    def run(tx, p, gs):
+        s = tx.init(p)
+        for g in gs:
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    for wd in (0.0, 0.01):
+        flat_tx = make_adam(1e-2, wd, flat=True)
+        tree_tx = make_adam(1e-2, wd, flat=False)
+        assert (jax.tree_util.tree_structure(flat_tx.init(params))
+                == jax.tree_util.tree_structure(tree_tx.init(params)))
+        pf, sf = jax.jit(lambda p, g: run(flat_tx, p, g))(params, gs)
+        pt, st = jax.jit(lambda p, g: run(tree_tx, p, g))(params, gs)
+        for lf, lt in zip(jax.tree_util.tree_leaves((pf, sf)),
+                          jax.tree_util.tree_leaves((pt, st))):
+            if wd == 0.0:
+                np.testing.assert_array_equal(np.asarray(lf), np.asarray(lt))
+            else:
+                np.testing.assert_allclose(np.asarray(lf), np.asarray(lt),
+                                           atol=1e-8, rtol=1e-6)
+
+
 def test_trainer_loss_decreases(tmp_path):
     model = NeuralJumpODE(input_dim=1, hidden_dim=16, output_dim=1,
                           num_moments=2)
