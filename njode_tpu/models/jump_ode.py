@@ -282,7 +282,7 @@ class NeuralJumpODE:
         'auto' additionally bounds the row count: the kernel's dense
         128-lane per-cell streams scale with rows x cells and lose to the
         per-gap XLA path at large batches (measured, BENCH_NOTES r3h)."""
-        from ..ops.walk_scan import AUTO_MAX_ROWS, walk_scan_available
+        from ..ops.walk_scan import auto_max_rows, walk_scan_available
         if not walk_scan_available(self.n_hidden_layers, self._act_key,
                                    self.dropout_rate, self._scale_key,
                                    self.input_dim, self.hidden_dim):
@@ -292,7 +292,8 @@ class NeuralJumpODE:
             return False
         if self.use_pallas == "interpret":
             return True
-        if self.use_pallas == "auto" and n_rows > AUTO_MAX_ROWS:
+        if (self.use_pallas == "auto"
+                and n_rows > auto_max_rows(self.hidden_dim)):
             return False
         if self.use_pallas in (True, "auto", "step"):
             import jax as _jax

@@ -12,33 +12,47 @@ selects/streamed slices dominate, where a plain euler scan runs at ~3 us
 resident in VMEM, per-cell streams ride double-buffered DMA, and the resets
 are free VPU selects.
 
-Design (mirrors ops/gap_scan.py's ring-DMA machinery):
+Carry-lane layout (r3j redesign; the original kept t/x in separate scratch
+and applied the rank-1 t/x feature updates plus the cvec/b2 broadcasts as
+per-cell VPU ops):
 
-* grid = (row_tiles,); the M cells run in an in-kernel ``fori_loop``.
-* One packed per-cell IN stream (M_pad, R, Dp), assembled in differentiable
-  XLA outside by scattering the observation slots to their grid cells:
-  lanes [0:d_h] = after-jump state at this cell's observation (zeros when
-  none), lane d_h = its time, lane d_h+1 = has-observation mask, lane
-  d_h+2 = its input-scaled x (d_x == 1 only).  The slot->cell scatter's
+* The walk state is ONE (rows, 128) block per tile whose lanes hold, per
+  HALF of width H = 128 / n_halves:
+      [0:d_h] = h,   d_h = t_rel,   d_h+1 = x_scaled,   d_h+2 = 1.0
+* The ODEFunc's t/x features and the cell-invariant pre-activation
+  ``cvec = dt * w1_dt + b1`` ride the SAME matmul as the hidden state: the
+  layer weights are packed into an (128, 128) block-diagonal matrix whose
+  per-half block has w1_h on the h rows, the t/x weight rows on the t/x
+  lanes, and cvec on the const-one lane.  b2 likewise rides W2's const row
+  (the activation output's const lane is forced back to 1).  The rank-1
+  updates cost nothing extra — the matmul was already 128 lanes wide.
+* ``n_halves = 2`` when d_h + 3 <= 64: TWO batch rows pack into each
+  128-lane vector row (the weight blocks are kron(I_2, block)), HALVING
+  both the matmul FLOPs and every stream's bytes.  The win region over the
+  per-gap XLA path doubles with it.
+
+Streams:
+
+* One packed per-cell IN stream (M_pad, R, 128), assembled in
+  differentiable XLA outside by scattering the observation slots to their
+  grid cells (per half: after-jump h, t_obs, x_obs, has).  The scatter's
   VJP routes the kernel's per-cell jump cotangents back to the right slots
   for the jump-network backward.
-* Per cell: select the carry (h, t, x) where the cell has an observation,
-  emit the ARRIVE block (pre-select h + post-select t/x packed in spare
-  lanes), take one Euler step
-      pre = scale(h) @ W1_h + x * w1_x + t * w1_t + cvec,
-      h  += dt * (act(pre) @ W2 + b2),
-  where ``cvec = dt * w1_dt + b1`` is cell-invariant (computed outside in
-  differentiable XLA, like gap_scan's ``base``).
-* The forward's own ARRIVE stream is the model's output (the pre-jump state
-  at every slot is its cell's arrive state — gathered outside) AND the
-  complete backward residual: the backward walks the cells in REVERSE,
+* Per cell: select the carry where the cell has an observation (the has
+  flag doubles as the const-one lane), emit the ARRIVE block (pre-select h
+  + post-select t/x packed in the same lanes), take one Euler step
+      c += dt * (act(select_h(scale, c) @ W1_block) @ W2_block) + dt_t
+* The forward's own ARRIVE stream is the model's output (the pre-jump
+  state at every slot is its cell's arrive state — gathered outside) AND
+  the complete backward residual: the backward walks the cells in REVERSE,
   reconstructing each cell's post-select state from (arrive, in-stream),
-  accumulating parameter cotangents in VMEM, and streaming per-cell jump
-  cotangents back out.  NO checkpointing / recompute passes are needed.
+  accumulating the two weight-BLOCK cotangents in VMEM (autodiff of the
+  outside block assembly unpacks them to w1/b1/w2/b2), and streaming
+  per-cell jump cotangents out.  NO checkpointing / recompute passes.
 
-Float note: like gap_scan, the feature matmul is split (x/t features are
-rank-1 VPU updates), so results match the XLA walk to ~1e-5 relative per
-step; the t/x carries are bit-identical.
+Float note: the t/x/cvec features accumulate inside the matmul rather than
+as separate adds, so results match the XLA walk to ~1e-5 relative per step
+(same tolerance class as the original split-feature kernel).
 """
 
 from __future__ import annotations
@@ -61,14 +75,25 @@ from .gap_scan import _SCALE, _SCALE_GRAD
 
 LANES = 128
 CHUNK = 4          # cells per DMA (amortizes the ~0.4 us start/wait cost)
-MAX_ROW_TILE = 256
+MAX_ROW_TILE = 256  # PACKED rows per grid step
 
-# 'auto' engages the kernel walk only up to this row count (one row tile):
-# its dense 128-lane per-cell streams scale with rows x cells and extra
-# row tiles serialize the walk, so larger batches lose to the per-gap
+# 'auto' engages the kernel walk only up to this PACKED row count (one row
+# tile): its dense 128-lane per-cell streams scale with rows x cells and
+# extra row tiles serialize the walk, so larger batches lose to the per-gap
 # path's redundant-FLOP XLA loop (measured on v5e, BENCH_NOTES.md r3h:
-# 2.3x at 256 rows, 0.62x at 512, 0.84x at 1024, 0.74x at 2048).
+# 2.3x at 256 rows, 0.62x at 512, 0.84x at 1024, 0.74x at 2048; r3j pairing
+# packs 2 rows per vector row, doubling the raw-row limit for d_h <= 61).
 AUTO_MAX_ROWS = 256
+
+
+def n_halves(hidden_dim: int) -> int:
+    """Rows packed per 128-lane vector row (2 when a half fits a row)."""
+    return 2 if hidden_dim + 3 <= LANES // 2 else 1
+
+
+def auto_max_rows(hidden_dim: int) -> int:
+    """'auto' row-count ceiling in RAW batch rows."""
+    return AUTO_MAX_ROWS * n_halves(hidden_dim)
 
 
 def walk_scan_available(n_hidden_layers: int, activation: str,
@@ -76,7 +101,7 @@ def walk_scan_available(n_hidden_layers: int, activation: str,
                         input_dim: int, hidden_dim: int) -> bool:
     """Config eligibility for the fused walk kernel (the grid-walk itself
     must ALSO be valid: aligned times, checked by the model/run_experiment).
-    d_x == 1 keeps x a single packed lane; hidden_dim + 3 lanes must fit."""
+    d_x == 1 keeps x a single packed lane; hidden + t/x/one lanes must fit."""
     return (HAS_PALLAS and n_hidden_layers == 1 and dropout_rate == 0.0
             and activation in SUPPORTED_ACTS and input_scaling in _SCALE
             and input_dim == 1 and hidden_dim + 3 <= LANES)
@@ -93,33 +118,46 @@ def _cells_padded(M: int) -> int:
     return _round_up(M, CHUNK)
 
 
+def _lane_masks(shape, d_h: int, nh: int):
+    """(is_h, is_one, lane) masks for the per-half carry layout."""
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    sub = lax.rem(lane, LANES // nh)
+    is_h = sub < d_h
+    is_one = sub == d_h + 2
+    return is_h, is_one, lane
+
+
+def _has_bcast(blk, lane, d_h: int, nh: int):
+    """Broadcast each half's has flag (lane d_h+2) across that half."""
+    H = LANES // nh
+    out = None
+    for k in range(nh):
+        hk = jnp.sum(jnp.where(lane == k * H + d_h + 2, blk, 0.0),
+                     axis=1, keepdims=True)
+        if nh == 1:
+            return hk
+        part = jnp.where(lane // H == k, hk, 0.0)
+        out = part if out is None else out + part
+    return out
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(stream_ref, w1h_ref, w1x_ref, w1t_ref, cvec_ref,
-                w2_ref, b2_ref,
+def _fwd_kernel(stream_ref, w1b_ref, w2b_ref,
                 arr_ref, hL_ref,
-                h_s, t_s, x_s, in_ring, out_ring, sems,
+                c_s, in_ring, out_ring, sems,
                 *, dt: float, n_cells: int, act: str, scale: str,
-                rt: int, d_h: int):
+                rt: int, d_h: int, nh: int):
     r = pl.program_id(0)
     r0 = r * rt
-    h_s[:] = jnp.zeros_like(h_s)
-    t_s[:] = jnp.zeros_like(t_s)
-    x_s[:] = jnp.zeros_like(x_s)
-    w1h = w1h_ref[:]
-    w1x = w1x_ref[:]
-    w1t = w1t_ref[:]
-    cvec = cvec_ref[:]
-    w2 = w2_ref[:]
-    b2 = b2_ref[:]
-
-    lane = lax.broadcasted_iota(jnp.int32, h_s.shape, 1)
-    is_h = lane < d_h
-    is_t = lane == d_h
-    is_has = lane == d_h + 1
-    is_x = lane == d_h + 2
+    is_h, is_one, lane = _lane_masks(c_s.shape, d_h, nh)
+    # init carry: h = 0, t = 0, x = 0, const-one lane = 1
+    c_s[:] = jnp.where(is_one, 1.0, 0.0)
+    w1b = w1b_ref[:]
+    w2b = w2b_ref[:]
+    t_add = jnp.where(lax.rem(lane, LANES // nh) == d_h, dt, 0.0)
     K = -(-n_cells // CHUNK)
 
     def in_dma(slot, k):
@@ -149,36 +187,28 @@ def _fwd_kernel(stream_ref, w1h_ref, w1x_ref, w1t_ref, cvec_ref,
                 in_dma(1 - slot, k + 1).start()
 
         blk = in_ring[slot, pos]
-        jump = jnp.where(is_h, blk, 0.0)
-        t_obs = jnp.sum(jnp.where(is_t, blk, 0.0), axis=1, keepdims=True)
-        has = jnp.sum(jnp.where(is_has, blk, 0.0), axis=1, keepdims=True)
-        x_obs = jnp.sum(jnp.where(is_x, blk, 0.0), axis=1, keepdims=True)
+        has = _has_bcast(blk, lane, d_h, nh)
+        c = c_s[:]
+        # the reset: blk carries (h_jump, t_obs, x_obs, has=1) per half, so
+        # one select covers every lane (the has lane stays 1 either way)
+        c_post = has * blk + (1.0 - has) * c
 
-        # post-select carry (the reset)
-        h_post = has * jump + (1.0 - has) * h_s[:]
-        t_post = has * t_obs + (1.0 - has) * t_s[:]
-        x_post = has * x_obs + (1.0 - has) * x_s[:]
-
-        # arrive block: PRE-select h, POST-select t/x in the spare lanes
+        # arrive block: PRE-select h, POST-select t/x in the same lanes
         # (the backward reconstructs the cell from this block + the stream)
         @pl.when(jnp.logical_and(pos == 0, j >= 2 * CHUNK))
         def _():
             out_dma(slot, k - 2).wait()
-        out_ring[slot, pos] = jnp.where(
-            is_t, t_post, jnp.where(is_x, x_post, h_s[:]))
+        out_ring[slot, pos] = jnp.where(is_h, c, c_post)
 
         @pl.when(pos == CHUNK - 1)
         def _():
             out_dma(slot, k).start()
 
-        pre = jnp.dot(_SCALE[scale](h_post), w1h,
-                      preferred_element_type=jnp.float32)
-        pre = pre + x_post * w1x + t_post * w1t + cvec
-        hid = _ACT[act](pre)
-        h_s[:] = h_post + dt * (
-            jnp.dot(hid, w2, preferred_element_type=jnp.float32) + b2)
-        t_s[:] = t_post + dt
-        x_s[:] = x_post
+        inp = jnp.where(is_h, _SCALE[scale](c_post), c_post)
+        pre = jnp.dot(inp, w1b, preferred_element_type=jnp.float32)
+        hid = jnp.where(is_one, 1.0, _ACT[act](pre))
+        dh = jnp.dot(hid, w2b, preferred_element_type=jnp.float32)
+        c_s[:] = c_post + dt * dh + t_add
         return 0
 
     lax.fori_loop(0, n_cells, body, 0)
@@ -186,30 +216,26 @@ def _fwd_kernel(stream_ref, w1h_ref, w1x_ref, w1t_ref, cvec_ref,
         out_dma((K - 1) % 2, K - 1).start()
     for kk in range(max(0, K - 2), K):
         out_dma(kk % 2, kk).wait()
-    hL_ref[:] = h_s[:]
+    hL_ref[:] = c_s[:]
 
 
 # --------------------------------------------------------------------------
 # backward kernel: reverse walk, residual = forward arrive stream
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(ghL_ref, w1h_ref, w1hT_ref, w1x_ref, w1t_ref, cvec_ref,
-                w2T_ref, stream_ref, arr_ref, ctarr_ref,
-                ctj_ref, gpre_sum_ref, acct_ref, accx_ref, gdh_sum_ref,
-                dw1h_ref, dw2_ref,
-                gh_s, gpre_s, acct_s, accx_s, gdh_s, dw1h_s, dw2_s,
+def _bwd_kernel(ghL_ref, w1b_ref, w1bT_ref, w2bT_ref,
+                stream_ref, arr_ref, ctarr_ref,
+                ctj_ref, dw1b_ref, dw2b_ref,
+                gh_s, dw1_s, dw2_s,
                 ringA, ringO, ringC, ringJ, sems,
                 *, dt: float, n_cells: int, act: str, scale: str,
-                rt: int, d_h: int):
+                rt: int, d_h: int, nh: int):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
     r0 = r * rt
+    is_h, is_one, lane = _lane_masks(gh_s.shape, d_h, nh)
 
-    gh_s[:] = ghL_ref[:]
-    gpre_s[:] = jnp.zeros_like(gpre_s)
-    acct_s[:] = jnp.zeros_like(acct_s)
-    accx_s[:] = jnp.zeros_like(accx_s)
-    gdh_s[:] = jnp.zeros_like(gdh_s)
+    gh_s[:] = jnp.where(is_h, ghL_ref[:], 0.0)
     # the tail chunk (n_cells % CHUNK) leaves some ring positions unwritten;
     # they are DMA'd to the padded cells >= n_cells of the cotangent stream,
     # whose true cotangent is zero (an endpoint observation CAN scatter into
@@ -218,21 +244,12 @@ def _bwd_kernel(ghL_ref, w1h_ref, w1hT_ref, w1x_ref, w1t_ref, cvec_ref,
 
     @pl.when(r == 0)
     def _():
-        dw1h_s[:] = jnp.zeros_like(dw1h_s)
+        dw1_s[:] = jnp.zeros_like(dw1_s)
         dw2_s[:] = jnp.zeros_like(dw2_s)
 
-    w1h = w1h_ref[:]
-    w1hT = w1hT_ref[:]
-    w1x = w1x_ref[:]
-    w1t = w1t_ref[:]
-    cvec = cvec_ref[:]
-    w2T = w2T_ref[:]
-
-    lane = lax.broadcasted_iota(jnp.int32, gh_s.shape, 1)
-    is_h = lane < d_h
-    is_t = lane == d_h
-    is_has = lane == d_h + 1
-    is_x = lane == d_h + 2
+    w1b = w1b_ref[:]
+    w1bT = w1bT_ref[:]
+    w2bT = w2bT_ref[:]
     K = -(-n_cells // CHUNK)
 
     def dma_in(ring, sem_i, slot, k):
@@ -275,66 +292,53 @@ def _bwd_kernel(ghL_ref, w1h_ref, w1hT_ref, w1x_ref, w1t_ref, cvec_ref,
         blkO = ringO[slot, pos]
         ct = ringC[slot, pos]
 
-        jump = jnp.where(is_h, blkA, 0.0)
-        has = jnp.sum(jnp.where(is_has, blkA, 0.0), axis=1, keepdims=True)
-        a_j = jnp.where(is_h, blkO, 0.0)
-        t_j = jnp.sum(jnp.where(is_t, blkO, 0.0), axis=1, keepdims=True)
-        x_j = jnp.sum(jnp.where(is_x, blkO, 0.0), axis=1, keepdims=True)
+        has = _has_bcast(blkA, lane, d_h, nh)
+        # post-select state: h needs the reset select; t/x/one lanes of the
+        # arrive block are already post-select
+        c_post = jnp.where(is_h, has * blkA + (1.0 - has) * blkO, blkO)
+        inp = jnp.where(is_h, _SCALE[scale](c_post), c_post)
+        pre = jnp.dot(inp, w1b, preferred_element_type=jnp.float32)
 
-        j_h = has * jump + (1.0 - has) * a_j        # post-select state
-        j_sc = _SCALE[scale](j_h)
-        pre = jnp.dot(j_sc, w1h, preferred_element_type=jnp.float32)
-        pre = pre + x_j * w1x + t_j * w1t + cvec
-        hid = _ACT[act](pre)
-
-        g_dh = dt * gh_s[:]
-        g_hid = jnp.dot(g_dh, w2T, preferred_element_type=jnp.float32)
-        g_pre = g_hid * _ACT_GRAD[act](pre)
-
+        gh = gh_s[:]
+        g_dh = dt * gh
+        hid1 = jnp.where(is_one, 1.0, _ACT[act](pre))
         dw2_s[:] += lax.dot_general(
-            hid, g_dh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # hid^T @ g_dh
-        dw1h_s[:] += lax.dot_general(
-            j_sc, g_pre, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # scale(j)^T @ g_pre
-        gpre_s[:] += g_pre
-        acct_s[:] += t_j * g_pre
-        accx_s[:] += x_j * g_pre
-        gdh_s[:] += g_dh
+            hid1, g_dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # hid1^T @ g_dh
+        g_hid = jnp.dot(g_dh, w2bT, preferred_element_type=jnp.float32)
+        g_pre = jnp.where(is_one, 0.0, g_hid) * _ACT_GRAD[act](pre)
+        dw1_s[:] += lax.dot_general(
+            inp, g_pre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # inp^T @ g_pre
 
-        g_back = jnp.dot(g_pre, w1hT, preferred_element_type=jnp.float32)
-        g_j = gh_s[:] + g_back * _SCALE_GRAD[scale](j_h)
+        g_inp = jnp.dot(g_pre, w1bT, preferred_element_type=jnp.float32)
+        g_c = jnp.where(is_h, gh + g_inp * _SCALE_GRAD[scale](c_post), 0.0)
 
-        ringJ[slot, pos] = jnp.where(is_h, has * g_j, 0.0)
+        ringJ[slot, pos] = has * g_c
 
         @pl.when(pos == 0)
         def _():
             dma_out(slot, k).start()
 
-        gh_s[:] = (1.0 - has) * g_j + jnp.where(is_h, ct, 0.0)
+        gh_s[:] = (1.0 - has) * g_c + jnp.where(is_h, ct, 0.0)
         return 0
 
     lax.fori_loop(0, n_cells, body, 0)
     for kk in range(min(2, K)):
         dma_out(kk % 2, kk).wait()
 
-    gpre_sum_ref[:] = gpre_s[:]
-    acct_ref[:] = acct_s[:]
-    accx_ref[:] = accx_s[:]
-    gdh_sum_ref[:] = gdh_s[:]
-
     @pl.when(r == n_r - 1)
     def _():
-        dw1h_ref[:] = dw1h_s[:]
-        dw2_ref[:] = dw2_s[:]
+        dw1b_ref[:] = dw1_s[:]
+        dw2b_ref[:] = dw2_s[:]
 
 
 # --------------------------------------------------------------------------
 # pallas_call wrappers (padded shapes)
 # --------------------------------------------------------------------------
 
-def _forward_call(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
-                  d_h, dt, n_cells, act, scale, interpret):
+def _forward_call(stream, w1b, w2b, d_h, nh, dt, n_cells, act, scale,
+                  interpret):
     M_pad, R, Dp = stream.shape
     RT = _row_tile(R)
     n_r = R // RT
@@ -345,26 +349,23 @@ def _forward_call(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     arr, hL = pl.pallas_call(
         functools.partial(_fwd_kernel, dt=dt, n_cells=n_cells, act=act,
-                          scale=scale, rt=RT, d_h=d_h),
+                          scale=scale, rt=RT, d_h=d_h, nh=nh),
         grid=(n_r,),
-        in_specs=[hbm, full((Dp, Dp)), full((1, Dp)), full((1, Dp)),
-                  full((1, Dp)), full((Dp, Dp)), full((1, Dp))],
+        in_specs=[hbm, full((Dp, Dp)), full((Dp, Dp))],
         out_specs=[hbm, row(Dp)],
         out_shape=[jax.ShapeDtypeStruct((M_pad, R, Dp), jnp.float32),
                    jax.ShapeDtypeStruct((R, Dp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32),
-                        pltpu.VMEM((RT, 1), jnp.float32),
-                        pltpu.VMEM((RT, 1), jnp.float32),
                         pltpu.VMEM((2, CHUNK, RT, Dp), jnp.float32),
                         pltpu.VMEM((2, CHUNK, RT, Dp), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
-    )(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row)
+    )(stream, w1b, w2b)
     return arr, hL
 
 
-def _backward_call(ghL, stream, arr, ctarr, w1h, w1x_row, w1t_row, cvec, w2,
-                   d_h, dt, n_cells, act, scale, interpret):
+def _backward_call(ghL, stream, arr, ctarr, w1b, w2b,
+                   d_h, nh, dt, n_cells, act, scale, interpret):
     M_pad, R, Dp = stream.shape
     RT = _row_tile(R)
     n_r = R // RT
@@ -375,25 +376,15 @@ def _backward_call(ghL, stream, arr, ctarr, w1h, w1x_row, w1t_row, cvec, w2,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, dt=dt, n_cells=n_cells, act=act,
-                          scale=scale, rt=RT, d_h=d_h),
+                          scale=scale, rt=RT, d_h=d_h, nh=nh),
         grid=(n_r,),
-        in_specs=[row(Dp), full((Dp, Dp)), full((Dp, Dp)), full((1, Dp)),
-                  full((1, Dp)), full((1, Dp)), full((Dp, Dp)),
+        in_specs=[row(Dp), full((Dp, Dp)), full((Dp, Dp)), full((Dp, Dp)),
                   hbm, hbm, hbm],
-        out_specs=[hbm, row(Dp), row(Dp), row(Dp), row(Dp),
-                   full((Dp, Dp)), full((Dp, Dp))],
+        out_specs=[hbm, full((Dp, Dp)), full((Dp, Dp))],
         out_shape=[jax.ShapeDtypeStruct((M_pad, R, Dp), jnp.float32),  # ct_jump
-                   jax.ShapeDtypeStruct((R, Dp), jnp.float32),   # g_pre_sum
-                   jax.ShapeDtypeStruct((R, Dp), jnp.float32),   # acc_t
-                   jax.ShapeDtypeStruct((R, Dp), jnp.float32),   # acc_x
-                   jax.ShapeDtypeStruct((R, Dp), jnp.float32),   # g_dh_sum
-                   jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),  # dW1_h
-                   jax.ShapeDtypeStruct((Dp, Dp), jnp.float32)], # dW2
+                   jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),  # dW1_block
+                   jax.ShapeDtypeStruct((Dp, Dp), jnp.float32)], # dW2_block
         scratch_shapes=[pltpu.VMEM((RT, Dp), jnp.float32),   # gh_s
-                        pltpu.VMEM((RT, Dp), jnp.float32),   # gpre_s
-                        pltpu.VMEM((RT, Dp), jnp.float32),   # acct_s
-                        pltpu.VMEM((RT, Dp), jnp.float32),   # accx_s
-                        pltpu.VMEM((RT, Dp), jnp.float32),   # gdh_s
                         pltpu.VMEM((Dp, Dp), jnp.float32),
                         pltpu.VMEM((Dp, Dp), jnp.float32),
                         pltpu.VMEM((2, CHUNK, RT, Dp), jnp.float32),
@@ -402,8 +393,8 @@ def _backward_call(ghL, stream, arr, ctarr, w1h, w1x_row, w1t_row, cvec, w2,
                         pltpu.VMEM((2, CHUNK, RT, Dp), jnp.float32),
                         pltpu.SemaphoreType.DMA((4, 2))],
         interpret=interpret,
-    )(ghL, w1h, jnp.swapaxes(w1h, 0, 1), w1x_row, w1t_row, cvec,
-      jnp.swapaxes(w2, 0, 1), stream, arr, ctarr)
+    )(ghL, w1b, jnp.swapaxes(w1b, 0, 1), jnp.swapaxes(w2b, 0, 1),
+      stream, arr, ctarr)
     return outs
 
 
@@ -411,34 +402,32 @@ def _backward_call(ghL, stream, arr, ctarr, w1h, w1x_row, w1t_row, cvec, w2,
 # custom-vjp op (padded logical arrays)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _walk_scan(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
-               d_h, dt, n_cells, act, scale, interpret):
-    """Fused grid walk.  Returns (arrive_stream, h_final); the arrive
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _walk_scan(stream, w1_block, w2_block,
+               d_h, nh, dt, n_cells, act, scale, interpret):
+    """Fused grid walk.  Returns (arrive_stream, c_final); the arrive
     stream's cell g holds the pre-reset state on arrival at t = g*dt (plus
-    the post-reset t/x in spare lanes), h_final the state at t = M*dt."""
-    return _forward_call(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
-                         d_h, dt, n_cells, act, scale, interpret)
+    the post-reset t/x in their lanes), c_final the state at t = M*dt.
+    Weight cotangents come back as the packed BLOCK matrices — the caller's
+    differentiable block assembly routes them to w1/b1/w2/b2."""
+    return _forward_call(stream, w1_block, w2_block, d_h, nh, dt, n_cells,
+                         act, scale, interpret)
 
 
-def _walk_scan_fwd(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
-                   d_h, dt, n_cells, act, scale, interpret):
-    arr, hL = _forward_call(stream, w1h, w1x_row, w1t_row, cvec, w2, b2_row,
-                            d_h, dt, n_cells, act, scale, interpret)
-    return (arr, hL), (stream, arr, w1h, w1x_row, w1t_row, cvec, w2)
+def _walk_scan_fwd(stream, w1_block, w2_block,
+                   d_h, nh, dt, n_cells, act, scale, interpret):
+    arr, hL = _forward_call(stream, w1_block, w2_block, d_h, nh, dt, n_cells,
+                            act, scale, interpret)
+    return (arr, hL), (stream, arr, w1_block, w2_block)
 
 
-def _walk_scan_bwd(d_h, dt, n_cells, act, scale, interpret, resids, g):
+def _walk_scan_bwd(d_h, nh, dt, n_cells, act, scale, interpret, resids, g):
     ct_arr, ct_hL = g
-    stream, arr, w1h, w1x_row, w1t_row, cvec, w2 = resids
-    (ct_jump, gpre_sum, acct, accx, gdh_sum, dw1h, dw2) = _backward_call(
-        ct_hL, stream, arr, ct_arr, w1h, w1x_row, w1t_row, cvec, w2,
-        d_h, dt, n_cells, act, scale, interpret)
-    g_w1x = jnp.sum(accx, axis=0, keepdims=True)
-    g_w1t = jnp.sum(acct, axis=0, keepdims=True)
-    g_cvec = jnp.sum(gpre_sum, axis=0, keepdims=True)
-    g_b2 = jnp.sum(gdh_sum, axis=0, keepdims=True)
-    return (ct_jump, dw1h, g_w1x, g_w1t, g_cvec, dw2, g_b2)
+    stream, arr, w1_block, w2_block = resids
+    ct_jump, dw1b, dw2b = _backward_call(
+        ct_hL, stream, arr, ct_arr, w1_block, w2_block,
+        d_h, nh, dt, n_cells, act, scale, interpret)
+    return (ct_jump, dw1b, dw2b)
 
 
 _walk_scan.defvjp(_walk_scan_fwd, _walk_scan_bwd)
@@ -447,6 +436,33 @@ _walk_scan.defvjp(_walk_scan_fwd, _walk_scan_bwd)
 # --------------------------------------------------------------------------
 # model-facing wrapper
 # --------------------------------------------------------------------------
+
+def _weight_blocks(w1, b1, w2, b2, d_h: int, nh: int, dt: float):
+    """Pack ODEFunc layer weights into the kernel's block-diagonal layout
+    (differentiable: the kernel's block cotangents flow back through the
+    set/kron to w1/b1/w2/b2 automatically).
+
+    Per-half block rows: [0:d_h] = w1_h; d_h = the t_rel weight row;
+    d_h+1 = the x weight row; d_h+2 (const-one lane) = cvec = dt*w1_dt + b1
+    for W1, and b2 for W2.  (ODEFunc input order is [scale(h), x, t_rel,
+    t_elapsed], reference models/jump_ode.py:52-63; t_elapsed = dt is
+    cell-invariant and folds into cvec.)
+    """
+    H = LANES // nh
+    f32 = jnp.float32
+    B1 = jnp.zeros((H, H), f32)
+    B1 = B1.at[:d_h, :d_h].set(w1[:d_h])
+    B1 = B1.at[d_h, :d_h].set(w1[d_h + 1])
+    B1 = B1.at[d_h + 1, :d_h].set(w1[d_h])
+    B1 = B1.at[d_h + 2, :d_h].set(dt * w1[d_h + 2] + b1)
+    B2 = jnp.zeros((H, H), f32)
+    B2 = B2.at[:d_h, :d_h].set(w2)
+    B2 = B2.at[d_h + 2, :d_h].set(b2)
+    if nh == 1:
+        return B1, B2
+    eye = jnp.eye(nh, dtype=f32)
+    return jnp.kron(eye, B1), jnp.kron(eye, B2)
+
 
 def walk_gaps_fused(ode_layers, h_jump, x_scaled, times, mask, g_idx,
                     dt_ode_step: float, n_cells: int,
@@ -472,51 +488,72 @@ def walk_gaps_fused(ode_layers, h_jump, x_scaled, times, mask, g_idx,
     dt = float(dt_ode_step)
     M = int(n_cells)
     M_pad = _cells_padded(M)
-    Dp = _round_up(d_h + 3, LANES)
-    RT = _row_tile(B)
-    R_p = -(-B // RT) * RT
+    nh = n_halves(d_h)
+    H = LANES // nh
 
     has_f = (jnp.ones((B, N), jnp.float32) if mask is None
              else mask.astype(jnp.float32))
+    # pad the batch to a multiple of nh (padding rows have no observations)
+    Bp = -(-B // nh) * nh
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        times_p = jnp.pad(times, pad)
+        has_p = jnp.pad(has_f, pad)
+        x_p = jnp.pad(x_scaled, pad + ((0, 0),))
+        g_p = jnp.pad(g_idx, pad)
+        hj_p = jnp.pad(h_jump, ((0, 0),) + pad + ((0, 0),))
+    else:
+        times_p, has_p, x_p, g_p, hj_p = times, has_f, x_scaled, g_idx, h_jump
+    P = Bp // nh                      # packed rows
+    RT = _row_tile(P)
+    R_p = -(-P // RT) * RT
+
     # padded slots scatter into a dump cell past the kernel's M_pad window
-    slot_g = jnp.where(has_f > 0, jnp.clip(g_idx, 0, M), M_pad + 1)
-    rows_b = jnp.arange(B)[:, None]
+    slot_g = jnp.where(has_p > 0, jnp.clip(g_p, 0, M), M_pad + 1)
+    rows_p = jnp.arange(P)[:, None]
 
     def layer_k(i, k):
         lw, lb = ode_layers[i]["w"], ode_layers[i]["b"]
         return (lw[k], lb[k]) if lw.ndim == 3 else (lw, lb)
 
+    # per-half slot blocks: [0:d_h]=h_jump, d_h=t, d_h+1=x, d_h+2=has
+    tail = jnp.concatenate([
+        times_p[..., None].astype(jnp.float32),
+        x_p.astype(jnp.float32),
+        has_p[..., None],
+    ], axis=-1)                                            # (Bp, N, 3)
+
+    b_sel = jnp.arange(B)[:, None]
+    idx = jnp.clip(g_p[:B, 1:], 0, M)                      # (B, S)
+    half_of_row = (jnp.arange(B) % nh)[:, None, None, None]
+
     outs = []
     for k in range(K_h):
         w1, b1 = layer_k(0, k)
         w2, b2 = layer_k(1, k)
-        w1h = jnp.pad(w1[:d_h], ((0, Dp - d_h), (0, Dp - d_h)))
-        w1x_row = jnp.pad(w1[d_h], (0, Dp - d_h)).reshape(1, Dp)
-        w1t_row = jnp.pad(w1[d_h + 1], (0, Dp - d_h)).reshape(1, Dp)
-        # cell-invariant pre-activation part: the full-step t_elapsed = dt
-        # feature and the bias (differentiable XLA; cotangents flow back
-        # through this expression to w1_dt / b1 automatically)
-        cvec = jnp.pad(dt * w1[d_h + 2] + b1, (0, Dp - d_h)).reshape(1, Dp)
-        w2_p = jnp.pad(w2, ((0, Dp - d_h), (0, Dp - d_h)))
-        b2_row = jnp.pad(b2, (0, Dp - d_h)).reshape(1, Dp)
+        w1b, w2b = _weight_blocks(w1, b1, w2, b2, d_h, nh, dt)
 
-        # packed slot blocks -> scattered to their grid cells (stream)
         slot_blk = jnp.concatenate([
-            h_jump[k],                                   # lanes [0:d_h]
-            times[..., None].astype(jnp.float32),        # lane d_h
-            has_f[..., None],                            # lane d_h+1
-            x_scaled.astype(jnp.float32),                # lane d_h+2
-            jnp.zeros((B, N, Dp - d_h - 3), jnp.float32),
-        ], axis=-1)
-        stream = (jnp.zeros((M_pad + 2, R_p, Dp), jnp.float32)
-                  .at[slot_g, rows_b].set(slot_blk)[:M_pad])
+            hj_p[k], tail, jnp.zeros((Bp, N, H - d_h - 3), jnp.float32),
+        ], axis=-1)                                        # (Bp, N, H)
+        # halves: raw row r -> packed row r // nh, lane block r % nh
+        halves = []
+        for h in range(nh):
+            buf = (jnp.zeros((M_pad + 2, R_p, H), jnp.float32)
+                   .at[slot_g[h::nh], rows_p[:((Bp - h - 1) // nh) + 1]]
+                   .set(slot_blk[h::nh]))
+            halves.append(buf)
+        stream = (halves[0] if nh == 1
+                  else jnp.concatenate(halves, axis=-1))[:M_pad]
 
-        arr, hL = _walk_scan(stream, w1h, w1x_row, w1t_row, cvec, w2_p,
-                             b2_row, d_h, dt, M, act_name, scale_name,
-                             interpret)
-        # pre-jump state at slot i = arrival at its cell (cell M = h_final)
-        arr_all = jnp.concatenate([arr[:M], hL[None]], axis=0)  # (M+1, R_p, Dp)
-        idx = jnp.clip(g_idx[:, 1:], 0, M)                      # (B, S)
-        picked = arr_all[idx, rows_b]                           # (B, S, Dp)
+        arr, hL = _walk_scan(stream, w1b, w2b, d_h, nh, dt, M,
+                             act_name, scale_name, interpret)
+        # pre-jump state at slot i = arrival at its cell (cell M = c_final)
+        arr_all = jnp.concatenate([arr[:M], hL[None]], axis=0)  # (M+1,R_p,128)
+        picked = arr_all[idx, b_sel // nh]                      # (B, S, 128)
+        if nh > 1:
+            picked = picked.reshape(B, N - 1, nh, H)
+            picked = jnp.take_along_axis(picked, half_of_row,
+                                         axis=2)[:, :, 0]       # (B, S, H)
         outs.append(picked[..., :d_h].reshape(B * (N - 1), d_h))
     return jnp.stack(outs, axis=0)

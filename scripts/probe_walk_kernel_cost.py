@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--hidden", type=int, default=50)
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--arms", type=str, default="step,kgrad,kfwd,kraw,krawf")
+    ap.add_argument("--arms", type=str,
+                    default="step,gstep,lfwd,kgrad,kfwd,kraw,krawf")
     args = ap.parse_args()
 
     import jax
@@ -90,29 +91,34 @@ def main():
     h_jump = h_jump.reshape(model.k_hidden, B, N, d_h)
     x_scaled = model._scale(values)
 
-    from njode_tpu.ops.walk_scan import (LANES, _cells_padded, _round_up,
-                                         _row_tile, _walk_scan,
-                                         walk_gaps_fused)
+    from njode_tpu.ops.walk_scan import (LANES, _cells_padded, _row_tile,
+                                         _walk_scan, _weight_blocks,
+                                         n_halves, walk_gaps_fused)
 
-    # pre-built stream + padded weights for the kraw arms
-    Dp = _round_up(d_h + 3, LANES)
-    RT = _row_tile(B)
-    R_p = -(-B // RT) * RT
+    # pre-built stream + packed weight blocks for the kraw arms (r3j layout)
+    nh = n_halves(d_h)
+    H = LANES // nh
+    Bp = -(-B // nh) * nh
+    P = Bp // nh
+    RT = _row_tile(P)
+    R_p = -(-P // RT) * RT
     M_pad = _cells_padded(M)
     w1, b1 = (params["ode"]["layers"][0]["w"], params["ode"]["layers"][0]["b"])
     w2, b2 = (params["ode"]["layers"][1]["w"], params["ode"]["layers"][1]["b"])
-    w1h = jnp.pad(w1[:d_h], ((0, Dp - d_h), (0, Dp - d_h)))
-    w1x_row = jnp.pad(w1[d_h], (0, Dp - d_h)).reshape(1, Dp)
-    w1t_row = jnp.pad(w1[d_h + 1], (0, Dp - d_h)).reshape(1, Dp)
-    cvec = jnp.pad(dt * w1[d_h + 2] + b1, (0, Dp - d_h)).reshape(1, Dp)
-    w2_p = jnp.pad(w2, ((0, Dp - d_h), (0, Dp - d_h)))
-    b2_row = jnp.pad(b2, (0, Dp - d_h)).reshape(1, Dp)
+    w1b0, w2b0 = _weight_blocks(w1, b1, w2, b2, d_h, nh, dt)
     slot_g = jnp.where(mask, g_idx, M_pad + 1)
     slot_blk = jnp.concatenate([
-        h_jump[0], times[..., None], mask[..., None].astype(jnp.float32),
-        x_scaled, jnp.zeros((B, N, Dp - d_h - 3), jnp.float32)], axis=-1)
-    stream0 = (jnp.zeros((M_pad + 2, R_p, Dp), jnp.float32)
-               .at[slot_g, jnp.arange(B)[:, None]].set(slot_blk)[:M_pad])
+        h_jump[0], times[..., None], x_scaled,
+        mask[..., None].astype(jnp.float32),
+        jnp.zeros((B, N, H - d_h - 3), jnp.float32)], axis=-1)
+    rows_p = jnp.arange(P)[:, None]
+    halves = [
+        (jnp.zeros((M_pad + 2, R_p, H), jnp.float32)
+         .at[slot_g[h::nh], rows_p[:((Bp - h - 1) // nh) + 1]]
+         .set(slot_blk[h::nh]))
+        for h in range(nh)]
+    stream0 = (halves[0] if nh == 1
+               else jnp.concatenate(halves, axis=-1))[:M_pad]
 
     def one_step(p, s):
         def loss_fn(pp):
@@ -130,11 +136,17 @@ def main():
         return jnp.sum(out)
 
     def raw_sum(stream, weights):
-        arr, hL = _walk_scan(stream, *weights, d_h, dt, M, model._act_key,
-                             model._scale_key, False)
+        arr, hL = _walk_scan(stream, *weights, d_h, nh, dt, M,
+                             model._act_key, model._scale_key, False)
         return jnp.sum(arr) + jnp.sum(hL)
 
-    weights0 = (w1h, w1x_row, w1t_row, cvec, w2_p, b2_row)
+    weights0 = (w1b0, w2b0)
+
+    def loss_fn_of(p):
+        preds, before = model.apply(p, times, values, mask)
+        return nj_ode_loss_dense(values, preds, before, mask,
+                                 ignore_first_continuity=True,
+                                 moment_weights=[1.0, 10.0])
 
     def make_chain(arm, n):
         if arm == "step":
@@ -148,6 +160,33 @@ def main():
                     return (p, s), loss
                 (_, _), losses = lax.scan(body, (p, opt_state), None,
                                           length=n)
+                return losses[-1]
+        elif arm == "gstep":
+            # full step minus the optimizer: grad threads into params via
+            # a tiny SGD-like update, so step - gstep ~= Adam tree-op cost
+            def run(key):
+                p = jax.tree_util.tree_map(
+                    lambda x: x + 0.0 * jax.random.uniform(key, ()), params)
+
+                def body(p, _):
+                    loss, g = jax.value_and_grad(loss_fn_of)(p)
+                    p = jax.tree_util.tree_map(
+                        lambda a, b: a - 1e-30 * b, p, g)
+                    return p, loss
+                _, losses = lax.scan(body, p, None, length=n)
+                return losses[-1]
+        elif arm == "lfwd":
+            # apply + loss forward only (no backward anywhere)
+            def run(key):
+                p = jax.tree_util.tree_map(
+                    lambda x: x + 0.0 * jax.random.uniform(key, ()), params)
+
+                def body(p, _):
+                    v = loss_fn_of(p)
+                    p = jax.tree_util.tree_map(
+                        lambda a: a * (1.0 + 1e-30 * v), p)
+                    return p, v
+                _, losses = lax.scan(body, p, None, length=n)
                 return losses[-1]
         elif arm in ("kgrad", "kfwd"):
             # kgrad threads the GRADIENT tensor itself into the carry —
@@ -214,6 +253,12 @@ def main():
               f"glue {(results['kgrad']-results['kraw'])*1e3:.3f} ms, "
               f"jump/readout/loss/Adam "
               f"{(results['step']-results['kgrad'])*1e3:.3f} ms", flush=True)
+    if {"step", "gstep"} <= results.keys():
+        print(f"adam share: {(results['step']-results['gstep'])*1e3:.3f} ms",
+              flush=True)
+    if {"gstep", "lfwd"} <= results.keys():
+        print(f"backward share (model+loss): "
+              f"{(results['gstep']-results['lfwd'])*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -159,3 +159,38 @@ def test_walk_kernel_eligibility():
                              compute_dtype="bfloat16",
                              **base)._use_walk_kernel()
     assert NeuralJumpODE(use_pallas="interpret", **base)._use_walk_kernel()
+
+
+@pytest.mark.parametrize("hidden,n", [
+    (66, 9),    # unpaired lane layout (d_h + 3 > 64 -> n_halves = 1)
+    (18, 7),    # paired layout with an ODD batch (one padded half row)
+])
+def test_walk_kernel_layout_variants(hidden, n):
+    """Both lane layouts (paired / unpaired) and odd batch sizes match the
+    XLA walk for values and gradients."""
+    from njode_tpu.ops.walk_scan import n_halves
+    assert n_halves(66) == 1 and n_halves(18) == 2
+    b = _aligned_batch(n=n, n_steps=12, key=5)
+    common = dict(input_dim=1, hidden_dim=hidden, output_dim=1,
+                  num_moments=2, dt_ode_step=1.0 / 12, t_max=1.0,
+                  grid_walk=True, shared_network=True)
+    m_x = NeuralJumpODE(use_pallas=False, **common)
+    m_k = NeuralJumpODE(use_pallas="interpret", **common)
+    params = m_x.init(jax.random.PRNGKey(2))
+
+    def f(model):
+        def g(p):
+            preds, before = model.apply(p, b.times, b.values, b.mask)
+            return nj_ode_loss_dense(b.values, preds, before, b.mask,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0])
+        return g
+
+    lx, gx = jax.value_and_grad(f(m_x))(params)
+    lk, gk = jax.value_and_grad(f(m_k))(params)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    fx = jax.flatten_util.ravel_pytree(gx)[0]
+    fk = jax.flatten_util.ravel_pytree(gk)[0]
+    scale = float(jnp.max(jnp.abs(fx)))
+    np.testing.assert_allclose(np.asarray(fk), np.asarray(fx),
+                               rtol=2e-3, atol=2e-4 * scale)
