@@ -958,7 +958,24 @@ class NeuralJumpODE:
             if self.dt_ode_step is None:
                 n_sub = 1
             else:
-                cell = float(grid_times[1] - grid_times[0]) if G > 1 else 0.0
+                # the static substep count is derived from the FIRST cell, so
+                # it is only correct on a uniform grid (the reference computes
+                # per-cell substeps, utils/plotting.py:164-170) — guard
+                # instead of silently under/over-substepping
+                import numpy as np
+                gt = np.asarray(grid_times, dtype=np.float64)
+                if G > 2:
+                    gaps = np.diff(gt)
+                    if gaps.size and not np.allclose(
+                            gaps, gaps[0], rtol=1e-4, atol=1e-9):
+                        raise ValueError(
+                            "predict_on_grid derives a single static substep "
+                            "count from the first grid cell, which requires "
+                            "uniform grid spacing; got non-uniform gaps "
+                            f"(min {gaps.min():.3g}, max {gaps.max():.3g}). "
+                            "Pass n_sub= explicitly (sized for the largest "
+                            "cell) or use predict_at for irregular queries.")
+                cell = float(gt[1] - gt[0]) if G > 1 else 0.0
                 n_sub = max(1, int(cell / self.dt_ode_step))
 
         h0 = jnp.zeros((self.k_hidden, B, self.hidden_dim), self.dtype)

@@ -158,17 +158,22 @@ def nj_ode_loss(batch_times: Union[Array, Sequence[Array]],
     if isinstance(batch_values, (list, tuple)):
         from .jump_ode import pad_ragged
         _, values, m = pad_ragged(batch_times, batch_values)
-        B, N = values.shape[:2]
-        K = preds[0].shape[-1]
-        d = values.shape[-1]
-        import numpy as np
-        P = np.zeros((B, N, d, K), dtype=np.float32)
-        Pb = np.zeros((B, N, d, K), dtype=np.float32)
-        for b, (p, pb) in enumerate(zip(preds, preds_before)):
-            n = p.shape[0]
-            P[b, :n] = np.asarray(p, dtype=np.float32)
-            Pb[b, :n] = np.asarray(pb, dtype=np.float32)
-        return nj_ode_loss_dense(values, jnp.asarray(P), jnp.asarray(Pb), m,
+        N = values.shape[1]
+
+        # Densify with jnp ops (pad + stack) so jax.grad flows through the
+        # reference-style pipeline model.forward -> nj_ode_loss -> grad
+        # (reference models/jump_ode.py:235 — nj_ode_loss IS its training
+        # loss).  Per-trajectory lengths are static shapes, so this traces.
+        def densify(seq):
+            rows = []
+            for p in seq:
+                p = jnp.asarray(p, dtype=values.dtype)
+                pad = ((0, N - p.shape[0]),) + ((0, 0),) * (p.ndim - 1)
+                rows.append(jnp.pad(p, pad))
+            return jnp.stack(rows)
+
+        return nj_ode_loss_dense(values, densify(preds),
+                                 densify(preds_before), m,
                                  ignore_first_continuity, moment_weights, eps,
                                  variance_method,
                                  extended_moments=extended_moments)

@@ -142,6 +142,7 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
     first = jnp.zeros((B, N, 1), dtype).at[:, 0].set(1.0) > 0        # (B, N, 1)
 
     p = process_params
+    hybrid_regime = None  # (in_ou, regime_first) when hybrid truths are exact
 
     if process_type == "black_scholes":
         mean_b = _bs_mean(prev, dt, p.get("mu", 0.0))
@@ -187,6 +188,7 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
             mean_b = jnp.where(regime_first, values, mean_b)
             var_b = jnp.where(regime_first, 0.0, var_b)
             disabled = False
+            hybrid_regime = (in_ou, regime_first)
     else:
         raise ValueError(f"Unknown process type for conditional moments: {process_type}")
 
@@ -214,38 +216,65 @@ def moments_at_obs(times: Array, values: Array, process_type: str,
             raise ValueError(f"Unknown variance_method: {variance_method}")
         moments.append(m1)
         moments_before.append(m1b)
-    # moments >= 2: analytic higher conditional moments for BS/OU/Heston(~BS)
-    # up to the 4th moment (extension; the reference zero-fills, :917).
-    # 'direct' convention: central moments (0 after a jump); 'second_moment':
-    # raw moments E[X^p] (X^p after a jump).
+    # moments >= 2: analytic higher conditional moments up to the 4th moment
+    # (extension; the reference zero-fills, :917).  'direct' convention:
+    # central moments (0 after a jump); 'second_moment': raw moments E[X^p]
+    # (X^p after a jump).  Exact for BS, OU, and hybrid (per regime — both
+    # regimes have closed-form raw/central moments).  REFUSED for Heston:
+    # the BS approximation is paper-sanctioned for mean/variance only
+    # (reference :619-630); higher Heston conditional moments have no closed
+    # form (Broadie–Kaya territory) so we raise rather than silently
+    # approximate.
+    if num_moments > 2 and process_type == "heston":
+        raise ValueError(
+            "Extended moments (num_moments > 2) are unsupported for "
+            "'heston': higher conditional moments of the Heston price have "
+            "no closed form (the BS approximation used for mean/variance "
+            "does not extend).  Use num_moments <= 2, or a family with "
+            "exact truths (black_scholes / ornstein_uhlenbeck / "
+            "hybrid_ou_bs with recorded switch times).")
     for m_idx in range(len(moments), num_moments):
         p_ord = m_idx + 1
         supported = (not disabled and p_ord <= 4 and process_type in
-                     ("black_scholes", "ornstein_uhlenbeck", "heston"))
+                     ("black_scholes", "ornstein_uhlenbeck",
+                      "hybrid_ou_bs"))
         if not supported:
             moments.append(jnp.zeros_like(values))
             moments_before.append(jnp.zeros_like(values))
             continue
-        if variance_method == "second_moment":  # raw moments
-            if process_type == "ornstein_uhlenbeck":
-                mb_k = _ou_raw_moment(prev, dt, p.get("theta", 1.0),
-                                      p.get("mu", 0.0), p.get("sigma", 0.3),
-                                      p_ord)
-            else:  # bs / heston-as-bs
-                sig = p.get("sigma", 0.2) if process_type == "black_scholes" \
-                    else p.get("xi", 0.5)
-                mb_k = _bs_raw_moment(prev, dt, p.get("mu", 0.0), sig, p_ord)
+        raw = variance_method == "second_moment"
+        if process_type == "ornstein_uhlenbeck":
+            mb_k = (_ou_raw_moment(prev, dt, p.get("theta", 1.0),
+                                   p.get("mu", 0.0), p.get("sigma", 0.3),
+                                   p_ord) if raw else
+                    _ou_central_moment(prev, dt, p.get("theta", 1.0),
+                                       p.get("sigma", 0.3), p_ord))
+        elif process_type == "black_scholes":
+            mb_k = (_bs_raw_moment(prev, dt, p.get("mu", 0.0),
+                                   p.get("sigma", 0.2), p_ord) if raw else
+                    _bs_central_moment(prev, dt, p.get("mu", 0.0),
+                                       p.get("sigma", 0.2), p_ord))
+        else:  # hybrid: per-regime closed forms, regime_first convention
+            in_ou, regime_first = hybrid_regime
+            if raw:
+                ou_k = _ou_raw_moment(prev, dt, p.get("theta_ou", 1.0),
+                                      p.get("mu_ou", 0.0),
+                                      p.get("sigma_ou", 0.3), p_ord)
+                bs_k = _bs_raw_moment(prev, dt, p.get("mu_bs", 0.0),
+                                      p.get("sigma_bs", 0.2), p_ord)
+            else:
+                ou_k = _ou_central_moment(prev, dt, p.get("theta_ou", 1.0),
+                                          p.get("sigma_ou", 0.3), p_ord)
+                bs_k = _bs_central_moment(prev, dt, p.get("mu_bs", 0.0),
+                                          p.get("sigma_bs", 0.2), p_ord)
+            mb_k = jnp.where(in_ou, ou_k, bs_k)
+            # first-in-regime before-value follows the jump convention
+            mb_k = jnp.where(regime_first,
+                             values ** p_ord if raw else 0.0, mb_k)
+        if raw:
             after_k = values ** p_ord
             mb_k = jnp.where(first, after_k, mb_k)
-        else:  # central moments
-            if process_type == "ornstein_uhlenbeck":
-                mb_k = _ou_central_moment(prev, dt, p.get("theta", 1.0),
-                                          p.get("sigma", 0.3), p_ord)
-            else:
-                sig = p.get("sigma", 0.2) if process_type == "black_scholes" \
-                    else p.get("xi", 0.5)
-                mb_k = _bs_central_moment(prev, dt, p.get("mu", 0.0), sig,
-                                          p_ord)
+        else:
             after_k = jnp.zeros_like(values)
             mb_k = jnp.where(first, 0.0, mb_k)
         moments.append(after_k)

@@ -12,6 +12,8 @@ Library-level versions of the quality metrics the Trainer tracks:
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 
@@ -20,8 +22,10 @@ from ..simulation import TrajectoryBatch
 from ..simulation.moments import moments_at_obs
 
 # one compiled program per (model, metric-config) — eager evaluation would
-# dispatch op-by-op, which this backend charges ~1s/compile for (CLAUDE.md)
-_JIT_CACHE: dict = {}
+# dispatch op-by-op, which this backend charges ~1s/compile for (CLAUDE.md).
+# Keyed on the model OBJECT via weakref: an id()-keyed dict could silently
+# serve a stale compiled metric to a new model that reused the id after GC.
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _truths(model: NeuralJumpODE, batch: TrajectoryBatch, process_type: str,
@@ -38,13 +42,14 @@ def _truths(model: NeuralJumpODE, batch: TrajectoryBatch, process_type: str,
 def _get_jitted(kind: str, model: NeuralJumpODE, process_type: str,
                 variance_method: str, use_batch_switch_times: bool,
                 moment_weights, process_params: dict):
-    key = (kind, id(model), process_type, variance_method,
+    key = (kind, process_type, variance_method,
            use_batch_switch_times,
            None if moment_weights is None else tuple(moment_weights),
            tuple(sorted((k, v) for k, v in process_params.items()
                         if isinstance(v, (int, float, bool, str)))))
-    if key in _JIT_CACHE:
-        return _JIT_CACHE[key]
+    per_model = _JIT_CACHE.setdefault(model, {})
+    if key in per_model:
+        return per_model[key]
 
     def rel_fn(params, batch):
         preds, preds_before = model.apply(params, batch.times, batch.values,
@@ -79,7 +84,7 @@ def _get_jitted(kind: str, model: NeuralJumpODE, process_type: str,
         return mse_mean, mse_var
 
     fn = jax.jit(rel_fn if kind == "rel" else mse_fn)
-    _JIT_CACHE[key] = fn
+    per_model[key] = fn
     return fn
 
 

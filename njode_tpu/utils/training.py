@@ -1033,6 +1033,17 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
     Artifact layout preserved: ``runs/<experiment_name>/{config.json,
     model.ckpt, history.json}``.
     """
+    if (config.get("extended_moments", False)
+            and config.get("data", {}).get("process_type") == "heston"):
+        # fail fast with the same documented refusal moments_at_obs raises:
+        # higher Heston conditional moments have no closed-form truths
+        raise ValueError(
+            "--extended-moments is unsupported for the heston process: "
+            "higher conditional moments of the Heston price have no closed "
+            "form (the BS approximation used for mean/variance does not "
+            "extend).  Drop --extended-moments or use black_scholes / "
+            "ornstein_uhlenbeck / hybrid_ou_bs.")
+
     multihost = bool(config.get("multihost", False))
     if multihost:
         # must happen before any backend/device query (SURVEY.md §2b row P3)

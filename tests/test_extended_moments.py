@@ -120,3 +120,73 @@ def test_extended_training_learns_third_moment():
         trainer.train_epoch(b.times, b.values)
     after = third_moment_mse()
     assert after < before * 0.1, (before, after)
+
+
+def test_hybrid_higher_moments_per_regime():
+    """Hybrid extended truths: per-regime closed forms with the
+    first-in-regime jump convention (VERDICT r3 weak #3)."""
+    pp = dict(theta_ou=1.2, mu_ou=0.4, sigma_ou=0.3, mu_bs=0.1, sigma_bs=0.25)
+    sw = 0.5
+    times = jnp.asarray([[0.0, 0.2, 0.4, 0.7, 0.9]], jnp.float32)
+    vals = jnp.asarray([[0.3, 0.5, 0.45, 0.6, 0.7]],
+                       jnp.float32)[..., None]
+    for vm in ("second_moment", "direct"):
+        m, mb = moments_at_obs(times, vals, "hybrid_ou_bs", num_moments=4,
+                               variance_method=vm, switch_time=sw, **pp)
+        for p_ord in (3, 4):
+            k = p_ord - 1
+            prev = vals[:, :-1]
+            dt = (times[:, 1:] - times[:, :-1])[..., None]
+            if vm == "second_moment":
+                ou = _ou_raw_moment(prev, dt, pp["theta_ou"], pp["mu_ou"],
+                                    pp["sigma_ou"], p_ord)
+                bs = _bs_raw_moment(prev, dt, pp["mu_bs"], pp["sigma_bs"],
+                                    p_ord)
+            else:
+                ou = _ou_central_moment(prev, dt, pp["theta_ou"],
+                                        pp["sigma_ou"], p_ord)
+                bs = _bs_central_moment(prev, dt, pp["mu_bs"],
+                                        pp["sigma_bs"], p_ord)
+            got = np.asarray(mb[0, :, 0, k])
+            # slots 1, 2 are interior OU (t < sw, prev also < sw)
+            np.testing.assert_allclose(got[1], np.asarray(ou)[0, 0, 0],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(got[2], np.asarray(ou)[0, 1, 0],
+                                       rtol=1e-5)
+            # slot 3 crosses the switch: first-in-regime jump convention
+            expect_first = (float(vals[0, 3, 0]) ** p_ord
+                            if vm == "second_moment" else 0.0)
+            np.testing.assert_allclose(got[3], expect_first, rtol=1e-5)
+            # slot 4 is interior BS
+            np.testing.assert_allclose(got[4], np.asarray(bs)[0, 3, 0],
+                                       rtol=1e-5)
+            # after-jump convention
+            if vm == "second_moment":
+                np.testing.assert_allclose(np.asarray(m[..., k]),
+                                           np.asarray(vals ** p_ord),
+                                           rtol=1e-5)
+            else:
+                assert np.all(np.asarray(m[..., k]) == 0.0)
+
+
+def test_heston_extended_moments_refused():
+    """num_moments > 2 on heston must raise the documented refusal, at the
+    truths layer AND at run_experiment config validation."""
+    b = simulate_batch(jax.random.PRNGKey(0), 2, "heston", 0.1)
+    with pytest.raises(ValueError, match="[Hh]eston"):
+        moments_at_obs(b.times, b.values, "heston", num_moments=3,
+                       mu=0.5, xi=0.5)
+    # num_moments <= 2 keeps working (paper-sanctioned BS approximation)
+    m, mb = moments_at_obs(b.times, b.values, "heston", num_moments=2,
+                           mu=0.5, xi=0.5)
+    assert np.all(np.isfinite(np.asarray(mb)))
+
+    from njode_tpu.utils import run_experiment
+    cfg = {"experiment_name": "heston_ext_refused", "input_dim": 1,
+           "hidden_dim": 8, "output_dim": 1, "num_moments": 3,
+           "learning_rate": 1e-3, "weight_decay": 0.0, "n_epochs": 1,
+           "extended_moments": True,
+           "data": {"process_type": "heston", "n_train": 4, "n_val": 2,
+                    "obs_fraction": 0.1}}
+    with pytest.raises(ValueError, match="extended-moments"):
+        run_experiment(cfg, save_dir="/tmp/njode_test_heston_refused")
