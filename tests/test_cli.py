@@ -46,6 +46,9 @@ def test_experiment_cli(tmp_path, script, name):
     history = json.loads((d / "history.json").read_text())
     assert len(history["train_loss"]) == 4
     assert all(x == x for x in history["train_loss"])  # no NaN
+    # kernel-engagement report: one line per run, no silent '--kernels auto'
+    # degradation (each declined kernel states its first failing reason)
+    assert "Kernels: walk=" in r.stdout, r.stdout
     # --obs-only defaults to auto: exact obs-time sampling wherever the
     # process has a transition law (the same fast path bench measures)
     from njode_tpu.simulation import supports_obs_only
