@@ -118,7 +118,7 @@ def batch_size_ok(batch_size) -> bool:
 
 def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
                          eps_loss: float, w0m: float, w1m: float,
-                         variance_method: str, K: int = 2):
+                         variance_method: str, K: int = 2, nv=None):
     """Closed-form NJ-ODE loss and its lane-matrix cotangents.
 
     Inputs are (RT, LANES) lane matrices (column s = observation slot s;
@@ -127,10 +127,13 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     (RT, 1) trajectory-valid column.  Returns ``(L, gA0, gB0, gA1, gB1)``
     with L the (1, 1) batch loss — the exact reduction order of
     ``nj_ode_loss_dense`` with ignore_first_continuity (slot-0 continuity
-    masked) and traj-masked mean.  Shared verbatim by both kernels so a
-    loss-semantics change cannot diverge them.  ``K=1`` (mean-only models)
-    drops the variance term exactly like ``nj_ode_loss_dense`` with
-    num_moments == 1; A1m/B1m are ignored and gA1/gB1 come back None.
+    masked) and traj-masked mean.  Shared verbatim by both kernels (and the
+    walk-train kernel's per-half calls) so a loss-semantics change cannot
+    diverge them.  ``K=1`` (mean-only models) drops the variance term
+    exactly like ``nj_ode_loss_dense`` with num_moments == 1; A1m/B1m are
+    ignored and gA1/gB1 come back None.  ``nv`` (a (1, 1) valid count)
+    overrides the in-block count — the walk-train kernel's row-pair packing
+    splits one minibatch across per-half calls that must share one NV.
     """
     RT = scal.shape[0]
     col_iota = lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
@@ -148,7 +151,8 @@ def _loss_and_cotangents(scal, validc, A0m, B0m, A1m, B1m, *, N: int,
     # eps fix here cannot diverge mean-only from mean+variance training)
     inv_n = 1.0 / float(N)
     L0 = jnp.sum(T0m, axis=1, keepdims=True) * inv_n     # (RT, 1)
-    NV = jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
+    NV = (jnp.maximum(jnp.sum(validc, keepdims=True), 1.0)  # (1, 1)
+          if nv is None else nv)
     wrow = validc / NV                                   # (RT, 1)
     gA0 = jnp.where(lane_n, wrow * (w0m * inv_n)
                     * ((SA + SCt) / SA) * 2.0 * (A0m - xm), 0.0)
