@@ -103,6 +103,11 @@ def main():
                     help="disable kernel auto-selection (--scaled defaults "
                          "to the fused-step kernel on eligible configs; "
                          "other recipes default to pure XLA)")
+    ap.add_argument("--no-pallas-train", action="store_true",
+                    help="veto ONLY the whole-run training kernel's auto-"
+                         "engagement (keeps the walk/step kernels' auto "
+                         "policy) — the composed arm for A/B runs against "
+                         "--pallas-train")
     args = ap.parse_args()
     def default_to(name, value):
         """Apply a preset value only when the flag wasn't given explicitly."""
@@ -229,25 +234,38 @@ def main():
 
     # the whole-run training kernel is the measured-fastest path for the
     # default-recipe shapes (BENCH_NOTES.md r3b: 2.69M vs 2.28M traj/s
-    # same-run) — default it on for eligible small-model TPU configs,
-    # exactly like --scaled defaults to the fused-step kernel
-    # ONE eligibility predicate for the whole-run training kernel, shared
-    # between the auto-engage decision and the explicit --pallas-train
-    # check (a constraint edited in only one copy silently diverges them).
-    # The bench model is fixed at d_x=d_y=1, one hidden layer, relu,
-    # identity scaling, no dropout.
+    # same-run) and — via its production twin, the whole-run WALK-train
+    # kernel (ops/walk_train.py, 7.0x the composed step, BENCH_NOTES.md
+    # r4a) — for --dt-ode-step recipes too; default it on for eligible
+    # TPU configs, exactly like --scaled defaults to the fused-step kernel.
+    # ONE eligibility predicate per twin, shared between the auto-engage
+    # decision and the explicit --pallas-train check (a constraint edited
+    # in only one copy silently diverges them).  The bench model is fixed
+    # at d_x=d_y=1, one hidden layer, relu, identity scaling, no dropout.
     from njode_tpu.ops.train_kernel import (LANES, batch_size_ok,
                                             train_kernel_available)
-    kernel_cfg_ok = (train_kernel_available(
-        args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
-        args.dt_ode_step, args.ode_solver)
-        and args.compute_dtype == "float32"
-        and args.hidden_dim <= LANES and batch_size_ok(bs))
+    from njode_tpu.ops.walk_train import (walk_train_available,
+                                          walk_train_shapes_ok)
+    kernel_twin = "walk" if args.dt_ode_step is not None else "run"
+    M_cells = (int(round(P["T"] / args.dt_ode_step))
+               if args.dt_ode_step else 0)
+    if kernel_twin == "walk":
+        # grid_walk carries the alignment promise the kernel integrates on
+        kernel_cfg_ok = (walk_train_available(
+            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+            args.dt_ode_step, args.ode_solver)
+            and args.compute_dtype == "float32" and grid_walk)
+    else:
+        kernel_cfg_ok = (train_kernel_available(
+            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+            args.dt_ode_step, args.ode_solver)
+            and args.compute_dtype == "float32"
+            and args.hidden_dim <= LANES and batch_size_ok(bs))
 
     auto_train_kernel = False
     if (platform == "tpu" and kernel_cfg_ok and not args.pallas_train
             and not args.pallas and not args.pallas_step
-            and not args.no_pallas):
+            and not args.no_pallas and not args.no_pallas_train):
         args.pallas_train = auto_train_kernel = True
 
     if args.pallas_train and platform != "tpu":
@@ -258,32 +276,50 @@ def main():
                          f"(running on {platform})")
 
     if args.pallas_train:
-        # the whole-run training kernel: identical recipe (fresh data per
-        # epoch, shuffled minibatches, traj-masked final minibatch, Adam
-        # 1e-3/5e-4), but every minibatch step executes inside ONE Pallas
-        # program — semantics pinned vs the optax loop in
-        # tests/test_train_kernel.py
-        from njode_tpu.ops.train_kernel import (fused_train_run,
-                                                init_train_state,
-                                                pack_minibatches,
-                                                train_state_params)
         N_slots = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
                                      args.obs_fraction, obs_only=obs_only,
                                      **P).times.shape[1])
-        eligible = kernel_cfg_ok and (2 * N_slots + 1 <= LANES)
+        if kernel_twin == "walk":
+            eligible = kernel_cfg_ok and walk_train_shapes_ok(
+                args.hidden_dim, bs, N_slots, M_cells)
+            not_eligible_msg = (
+                "--pallas-train with --dt-ode-step routes to the walk-train "
+                "kernel: config not eligible (needs --shared-network, "
+                "grid-aligned observation times, euler, f(0)=0 activation, "
+                "float32, hidden_dim + 3 <= 128/halves, batch a multiple "
+                "of 8*halves and <= 256 with cells*rows in the VMEM "
+                "residual budget, obs slots <= 63)")
+        else:
+            eligible = kernel_cfg_ok and (2 * N_slots + 1 <= LANES)
+            not_eligible_msg = (
+                "--pallas-train: config not eligible (needs separate "
+                "networks, no --dt-ode-step, euler, f(0)=0 activation, "
+                "float32, hidden_dim <= 128, obs slots <= 63, "
+                "batch size a multiple of 8 and <= 256)")
         if not eligible:
             if not auto_train_kernel:
-                raise SystemExit(
-                    "--pallas-train: config not eligible (needs separate "
-                    "networks, no --dt-ode-step, euler, f(0)=0 activation, "
-                    "float32, hidden_dim <= 128, obs slots <= 63, "
-                    "batch size a multiple of 8 and <= 256)")
+                raise SystemExit(not_eligible_msg)
             args.pallas_train = False
         else:
-            log(f"bench: whole-run training kernel engaged "
+            log(f"bench: whole-run {'walk-' if kernel_twin == 'walk' else ''}"
+                f"training kernel engaged "
                 f"({'auto' if auto_train_kernel else 'explicit'})")
 
     if args.pallas_train:
+        # the whole-run training kernel (or its --dt-ode-step walk twin):
+        # identical recipe (fresh data per epoch, shuffled minibatches,
+        # traj-masked final minibatch, Adam 1e-3/5e-4), but every minibatch
+        # step executes inside ONE Pallas program — semantics pinned vs the
+        # optax loop in tests/test_train_kernel.py / tests/test_walk_train.py
+        from njode_tpu.ops.train_kernel import pack_minibatches
+        if kernel_twin == "walk":
+            from njode_tpu.ops.walk_train import (fused_walk_train_run,
+                                                  init_walk_state,
+                                                  unpack_walk_params)
+        else:
+            from njode_tpu.ops.train_kernel import (fused_train_run,
+                                                    init_train_state,
+                                                    train_state_params)
 
         def train_all(params, opt_state, key):  # noqa: F811
             def epoch_data(e):
@@ -309,13 +345,24 @@ def main():
             data = pack_minibatches(ts.reshape(E * n_pad, N_slots),
                                     vs.reshape(E * n_pad, N_slots, 1),
                                     valid.reshape(E * n_pad), bs)
-            st = init_train_state(params, num_moments=2,
-                                  hidden_dim=args.hidden_dim)
-            st, step_losses = fused_train_run(
-                st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
-                lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
-            params = train_state_params(st, num_moments=2,
-                                        hidden_dim=args.hidden_dim)
+            if kernel_twin == "walk":
+                st = init_walk_state(params, num_moments=2,
+                                     hidden_dim=args.hidden_dim)
+                st, step_losses = fused_walk_train_run(
+                    st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
+                    hidden_dim=args.hidden_dim,
+                    dt_ode_step=args.dt_ode_step, max_substeps=M_cells,
+                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
+                params = unpack_walk_params(st[0], st[1], num_moments=2,
+                                            hidden_dim=args.hidden_dim)
+            else:
+                st = init_train_state(params, num_moments=2,
+                                      hidden_dim=args.hidden_dim)
+                st, step_losses = fused_train_run(
+                    st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
+                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
+                params = train_state_params(st, num_moments=2,
+                                            hidden_dim=args.hidden_dim)
             return params, opt_state, step_losses.reshape(E, nb).mean(axis=1)
 
     params = model.init(jax.random.PRNGKey(0))

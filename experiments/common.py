@@ -200,7 +200,11 @@ def add_common_args(parser: argparse.ArgumentParser,
                              '(params + Adam state resident in VMEM across '
                              'every minibatch step; small models only: '
                              'hidden <= 128, batch <= 256, same model '
-                             'limits as step)')
+                             'limits as step; with --dt-ode-step it routes '
+                             'to the walk-train twin — shared network, '
+                             'grid-aligned data, 7x the composed '
+                             'production step). auto engages whichever '
+                             'twin the recipe makes eligible')
     parser.add_argument('--debug-checks', action='store_true',
                         help='Enable in-graph runtime asserts (substep-'
                              'budget exhaustion inside jitted steps); costs '

@@ -134,10 +134,14 @@ def kernel_report(model, *, n_rows: Optional[int] = None,
     else:
         parts.append(f"walk=off ({_walk_reason(model, n_rows)})")
 
-    # --- train: the whole-run training kernel (Trainer's decision) ---
-    if train_kernel in ("on", "interpret"):
-        parts.append("train=on" if train_kernel == "on"
-                     else "train=on (interpreter)")
+    # --- train: the whole-run training kernel (Trainer's decision; the
+    # '(walk twin)' suffix marks the production --dt-ode-step kernel,
+    # ops/walk_train.py) ---
+    if train_kernel and train_kernel.split(" ", 1)[0] in ("on", "interpret"):
+        suffix = " (walk twin)" if train_kernel.endswith("(walk twin)") else ""
+        parts.append(f"train=on{suffix}"
+                     if train_kernel.startswith("on")
+                     else f"train=on (interpreter){suffix}")
     elif train_kernel:
         parts.append(f"train=off ({train_kernel})")
 

@@ -385,6 +385,16 @@ class Trainer:
             problems.append("batch_size must be a multiple of 8 and <= "
                             f"{MAX_BATCH_ROWS} (the minibatch is the "
                             "kernel's VMEM row tile)")
+        problems += self._kernel_opts_problems()
+        if problems:
+            raise ValueError("--kernels train not applicable: "
+                             + "; ".join(problems))
+
+    def _kernel_opts_problems(self):
+        """Shared train_kernel_opts/optimizer-hyperparameter verification
+        for both whole-run kernel twins (ops/train_kernel.py and
+        ops/walk_train.py)."""
+        problems = []
         for k in ("lr", "weight_decay"):
             if k not in self.train_kernel_opts:
                 problems.append(f"train_kernel_opts missing {k!r}")
@@ -418,9 +428,76 @@ class Trainer:
                     and tuple(map(float, got_b)) != tuple(map(float, want_b)):
                 problems.append(f"train_kernel_opts['betas']={got_b} != the "
                                 f"optimizer's betas={want_b}")
+        return problems
+
+    def _walk_train_check(self, batch_size: Optional[int],
+                          n_slots: Optional[int] = None):
+        """Fail fast (every problem listed) when the whole-run WALK-train
+        kernel — the production ``--dt-ode-step`` twin of the whole-run
+        training kernel (ops/walk_train.py) — can't represent this setup."""
+        from ..ops.walk_scan import n_halves
+        from ..ops.walk_train import (_RESID_ROWS_MAX, LANES,
+                                      walk_train_available,
+                                      walk_train_shapes_ok)
+        m = self.model
+        problems = []
+        if not walk_train_available(
+                m.shared_network, m.input_dim, m.output_dim,
+                m.n_hidden_layers, m._act_key, m.dropout_rate,
+                m._scale_key, m.dt_ode_step, m.ode_solver):
+            problems.append(
+                "model config (needs --shared-network, input/output dim 1, "
+                "one hidden layer, no dropout, euler, --dt-ode-step, an "
+                "f(0)=0 activation/scaling)")
+        if not m.grid_walk:
+            problems.append(
+                "grid_walk off — the kernel integrates on the fixed "
+                "{g*dt_ode_step} grid, so --grid-walk must resolve on "
+                "(grid-aligned observation times; 'auto' also needs TPU + "
+                "a single device)")
+        if m.num_moments not in (1, 2):
+            problems.append("num_moments must be 1 or 2 (the kernel's "
+                            "closed-form loss covers mean and mean+variance)")
+        if m.compute_dtype is not None:
+            problems.append("float32 only")
+        if not self.ignore_first_continuity:
+            problems.append("ignore_first_continuity must be enabled")
+        if self.extended_moments:
+            problems.append("extended_moments unsupported")
+        if self.mesh is not None:
+            problems.append("data/model-parallel meshes unsupported")
+        M = int(round(m.t_max / m.dt_ode_step)) if m.dt_ode_step else 0
+        if not walk_train_shapes_ok(m.hidden_dim, batch_size,
+                                    n_slots if n_slots is not None else 1, M):
+            nh = n_halves(m.hidden_dim)
+            problems.append(
+                f"shapes (needs hidden_dim + 3 <= {LANES // nh}, batch_size "
+                f"a multiple of {8 * nh} and <= 256 with grid cells x "
+                f"batch/{nh} <= {_RESID_ROWS_MAX} VMEM residual rows, "
+                f"2*n_slots + 1 <= {LANES}; got hidden {m.hidden_dim}, "
+                f"batch {batch_size}, {M} cells, n_slots {n_slots})")
+        problems += self._kernel_opts_problems()
         if problems:
-            raise ValueError("--kernels train not applicable: "
+            raise ValueError("--kernels train (walk twin) not applicable: "
                              + "; ".join(problems))
+
+    def _auto_walk_train_ok(self, batch_size: Optional[int],
+                            use_chunks: bool, loader) -> bool:
+        """Quiet twin of :meth:`_walk_train_check` for ``--kernels auto``:
+        engage the whole-run walk-train kernel only where it measured
+        fastest (real TPU, the eligible production shared-network config —
+        7.0x the composed walk-kernel step, BENCH_NOTES.md r4a) and degrade
+        to the composed XLA+walk-kernel path everywhere else."""
+        if not use_chunks or jax.default_backend() != "tpu":
+            return False
+        n_slots = self._loader_n_slots(loader)
+        if n_slots is None:
+            return False
+        try:
+            self._walk_train_check(batch_size, n_slots=n_slots)
+        except ValueError:
+            return False
+        return True
 
     def _auto_train_kernel_ok(self, batch_size: Optional[int],
                               use_chunks: bool, loader) -> bool:
@@ -457,7 +534,7 @@ class Trainer:
             return None
 
     def _print_kernel_report(self, loader, batch_size, use_chunks,
-                             use_kernel) -> None:
+                             use_kernel, kernel_twin="run") -> None:
         """One line per train() call stating which Pallas kernel carries
         which piece of the run and, for each declined kernel, the first
         failing eligibility reason — no silent '--kernels auto'
@@ -467,10 +544,12 @@ class Trainer:
         n_rows = batch_size
         if n_rows is None and isinstance(loader, DataLoader):
             n_rows = loader.n_trajectories
+        suffix = " (walk twin)" if kernel_twin == "walk" else ""
         if use_kernel:
             # (train() may still downgrade a forced off-TPU run to the
             # Pallas interpreter right after this print)
-            tk = "on" if jax.default_backend() == "tpu" else "interpret"
+            tk = ("on" if jax.default_backend() == "tpu"
+                  else "interpret") + suffix
         elif self.use_train_kernel == "auto":
             if not use_chunks:
                 tk = "needs on-device DataLoaders"
@@ -478,7 +557,10 @@ class Trainer:
                 tk = "not on TPU"
             else:
                 try:
-                    self._train_kernel_check(batch_size)
+                    if kernel_twin == "walk":
+                        self._walk_train_check(batch_size, n_slots=n_slots)
+                    else:
+                        self._train_kernel_check(batch_size)
                     tk = "obs slots exceed the lane packing" \
                         if n_slots is not None else "slot count unknown"
                 except ValueError as e:
@@ -492,17 +574,30 @@ class Trainer:
     def _build_kernel_chunk_fn(self, loader: "DataLoader", rel,
                                batch_size: int, shuffle: bool,
                                L: int, print_every: int,
-                               interpret: bool = False):
+                               interpret: bool = False, twin: str = "run"):
         """The whole-run-kernel twin of :meth:`_build_chunk_fn`: same
         (params, opt_state) API and identical history semantics, but each
         epoch's minibatch loop executes as one Pallas program.  The optax
         state converts exactly at the chunk boundary (kernel_state_from /
         optax_state_into), so checkpoints remain interchangeable with the
         XLA trainer's.  The shuffle key stream matches _epoch_update's, so
-        per-epoch losses reproduce the XLA path to float tolerance."""
-        from ..ops.train_kernel import (fused_train_run, kernel_state_from,
-                                        optax_state_into, pack_minibatches,
-                                        train_state_params)
+        per-epoch losses reproduce the XLA path to float tolerance.
+
+        ``twin='walk'`` routes through the production --dt-ode-step kernel
+        (ops/walk_train.py: same whole-run structure, but each gap is
+        walked over the fixed {g*dt_ode_step} grid in-kernel)."""
+        from ..ops.train_kernel import pack_minibatches
+        if twin == "walk":
+            from ..ops.walk_train import (fused_walk_train_run,
+                                          optax_state_into_walk,
+                                          unpack_walk_params, walk_state_from)
+            state_from, state_into = walk_state_from, optax_state_into_walk
+        else:
+            from ..ops.train_kernel import (fused_train_run,
+                                            kernel_state_from,
+                                            optax_state_into,
+                                            train_state_params)
+            state_from, state_into = kernel_state_from, optax_state_into
         n = loader.n_trajectories
         bs = batch_size
         nb = -(-n // bs)
@@ -524,7 +619,7 @@ class Trainer:
             cached = (b.times, b.values)
 
         def chunk_fn(params, opt_state, key, epoch0, val_t, val_v, val_m):
-            kst = kernel_state_from(params, opt_state, betas=betas, **kd)
+            kst = state_from(params, opt_state, betas=betas, **kd)
 
             def body(kst, e):
                 epoch = epoch0 + e
@@ -540,16 +635,30 @@ class Trainer:
                     [perm, jnp.zeros((n_pad - n,), perm.dtype)])
                 data = pack_minibatches(times[idx], values[idx],
                                         jnp.arange(n_pad) < n, bs)
-                kst2, step_losses = fused_train_run(
-                    kst, data, n_slots=times.shape[1], batch_size=bs,
-                    lr=lr, weight_decay=wd, moment_weights=mw,
-                    variance_method=self.variance_method, interpret=interpret,
-                    num_moments=self.model.num_moments,
-                    betas=betas, adam_eps=adam_eps,
-                    activation=self.model._act_key,
-                    input_scaling=self.model._scale_key)
+                if twin == "walk":
+                    m = self.model
+                    kst2, step_losses = fused_walk_train_run(
+                        kst, data, n_slots=times.shape[1], batch_size=bs,
+                        dt_ode_step=m.dt_ode_step,
+                        max_substeps=int(round(m.t_max / m.dt_ode_step)),
+                        lr=lr, weight_decay=wd, moment_weights=mw,
+                        variance_method=self.variance_method,
+                        interpret=interpret, betas=betas, adam_eps=adam_eps,
+                        activation=m._act_key,
+                        input_scaling=m._scale_key, **kd)
+                else:
+                    kst2, step_losses = fused_train_run(
+                        kst, data, n_slots=times.shape[1], batch_size=bs,
+                        lr=lr, weight_decay=wd, moment_weights=mw,
+                        variance_method=self.variance_method,
+                        interpret=interpret,
+                        num_moments=self.model.num_moments,
+                        betas=betas, adam_eps=adam_eps,
+                        activation=self.model._act_key,
+                        input_scaling=self.model._scale_key)
                 tr_loss = jnp.mean(step_losses)
-                p = train_state_params(kst2, **kd)
+                p = (unpack_walk_params(kst2[0], kst2[1], **kd)
+                     if twin == "walk" else train_state_params(kst2, **kd))
                 val_loss = (self._loss(p, val_t, val_v, val_m)
                             if val_t is not None else jnp.nan)
                 if rel is not None:
@@ -570,7 +679,7 @@ class Trainer:
                 return kst2, (tr_loss, val_loss, r)
 
             kst, (tr, vl, rl) = lax.scan(body, kst, jnp.arange(L))
-            params, opt_state = optax_state_into(kst, L * nb, opt_state, **kd)
+            params, opt_state = state_into(kst, L * nb, opt_state, **kd)
             return params, opt_state, tr, vl, rl
 
         return jax.jit(chunk_fn, donate_argnums=(0, 1))
@@ -803,18 +912,35 @@ class Trainer:
                            or isinstance(val_data_fn, DataLoader)))
         # resolve the kernel decision PER CALL (self.use_train_kernel stays
         # as configured, so 'auto' keeps its silent-XLA-fallback promise on
-        # every train() invocation, not just the first)
+        # every train() invocation, not just the first).  Which whole-run
+        # twin applies is the model's recipe: --dt-ode-step routes to the
+        # walk-train kernel (ops/walk_train.py); single-Euler-step gaps to
+        # the original whole-run kernel (ops/train_kernel.py).
+        kernel_twin = "walk" if self.model.dt_ode_step is not None else "run"
         use_kernel = self.use_train_kernel
         if use_kernel == "auto":
-            use_kernel = self._auto_train_kernel_ok(
-                batch_size, use_chunks, train_data_fn)
-            if use_kernel:
-                print("Whole-run training kernel engaged (--kernels auto: "
-                      "eligible small-model TPU config — BENCH_NOTES.md r3b)")
+            if kernel_twin == "walk":
+                use_kernel = self._auto_walk_train_ok(
+                    batch_size, use_chunks, train_data_fn)
+                if use_kernel:
+                    print("Whole-run walk-train kernel engaged (--kernels "
+                          "auto: eligible production TPU config — "
+                          "BENCH_NOTES.md r4a)")
+            else:
+                use_kernel = self._auto_train_kernel_ok(
+                    batch_size, use_chunks, train_data_fn)
+                if use_kernel:
+                    print("Whole-run training kernel engaged (--kernels "
+                          "auto: eligible small-model TPU config — "
+                          "BENCH_NOTES.md r3b)")
         self._print_kernel_report(train_data_fn, batch_size, use_chunks,
-                                  use_kernel)
+                                  use_kernel, kernel_twin=kernel_twin)
         if use_kernel:
-            self._train_kernel_check(batch_size)
+            if kernel_twin == "walk":
+                self._walk_train_check(
+                    batch_size, n_slots=self._loader_n_slots(train_data_fn))
+            else:
+                self._train_kernel_check(batch_size)
             if not use_chunks:
                 raise ValueError("--kernels train requires on-device "
                                  "DataLoaders (the fused chunk path)")
@@ -830,7 +956,7 @@ class Trainer:
                 train_data_fn, val_data_fn, start_epoch, n_epochs,
                 batch_size, shuffle, print_every, save_path, rel, history,
                 print_every if chunk_epochs == "auto" else int(chunk_epochs),
-                use_kernel=use_kernel)
+                use_kernel=use_kernel, kernel_twin=kernel_twin)
 
         val_batch = None
         for epoch in range(start_epoch, n_epochs):
@@ -886,11 +1012,14 @@ class Trainer:
 
     def _train_chunked(self, loader, val_loader, start_epoch, n_epochs,
                        batch_size, shuffle, print_every, save_path, rel,
-                       history, chunk_len, use_kernel=False):
+                       history, chunk_len, use_kernel=False,
+                       kernel_twin="run"):
         """Drive training in fused chunks (see _build_chunk_fn).
 
         ``use_kernel`` is the per-call resolution of ``use_train_kernel``
-        (False | True | 'interpret') from :meth:`train`."""
+        (False | True | 'interpret') from :meth:`train`; ``kernel_twin``
+        selects the whole-run kernel ('run' = ops/train_kernel.py, 'walk'
+        = the production --dt-ode-step twin, ops/walk_train.py)."""
         if val_loader is not None:
             vb = val_loader(0)
             val_t, val_v, val_m = vb.times, vb.values, vb.mask
@@ -906,7 +1035,8 @@ class Trainer:
                 if use_kernel:
                     fns[L] = self._build_kernel_chunk_fn(
                         loader, rel, batch_size, shuffle, L, print_every,
-                        interpret=(use_kernel == "interpret"))
+                        interpret=(use_kernel == "interpret"),
+                        twin=kernel_twin)
                 else:
                     fns[L] = self._build_chunk_fn(loader, rel, batch_size,
                                                   shuffle, L, print_every)
@@ -1016,10 +1146,13 @@ def _resolve_grid_walk(config: Dict,
         return False
     if setting in (True, "on"):
         return True
-    # ---- auto: only when the fused walk kernel will carry the walk ----
+    # ---- auto: only when a Pallas kernel will carry the walk — the fused
+    # walk kernel ('auto'/forced) or the whole-run walk-train kernel
+    # ('train' with --dt-ode-step routes there; it integrates the same
+    # fixed grid in-kernel, so the alignment promise is identical) ----
     if platform != "tpu" or not single_device:
         return False
-    if use_pallas_cfg not in ("auto", True):
+    if use_pallas_cfg not in ("auto", True, "train"):
         return False
     if (config.get("ode_solver", "euler") != "euler"
             or config.get("compute_dtype") not in (None, "float32", "none")
@@ -1192,10 +1325,15 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
         ode_solver=config.get("ode_solver", "euler"),
         use_pallas=use_pallas_cfg,
         debug_checks=config.get("debug_checks", False),
+        # grid-walk resolution sees the ORIGINAL --kernels value: 'train'
+        # with --dt-ode-step routes to the walk-train kernel, which needs
+        # the same grid-alignment promise the walk kernel does (the local
+        # use_pallas_cfg was zeroed above so the model's eval path stays
+        # on XLA)
         grid_walk=_use_grid_walk(
             config, platform,
             single_device=(mesh is None and n_ensemble <= 1),
-            use_pallas_cfg=use_pallas_cfg),
+            use_pallas_cfg=config.get("use_pallas", False)),
     )
 
     if n_ensemble > 1:

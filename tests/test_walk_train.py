@@ -260,3 +260,110 @@ def test_availability_and_shapes():
         fused_walk_train_run(st, jnp.zeros((24, 128)), n_slots=N,
                              num_moments=2, batch_size=12, hidden_dim=H,
                              dt_ode_step=DT, max_substeps=M, interpret=True)
+
+
+# ----------------------------------------------------------------------
+# Trainer integration: the walk twin of --kernels train / auto
+# ----------------------------------------------------------------------
+
+def _loaders(n_train=2 * BS, n_val=8, cache=True):
+    from njode_tpu.utils.training import create_data_loaders
+    return create_data_loaders(
+        process_type="black_scholes", n_train=n_train, n_val=n_val,
+        obs_fraction=N / 20.0, n_steps=20, cache_data=cache, base_seed=0,
+        obs_only=True, mu=0.1, sigma=0.5, x0=1.0)
+
+
+def test_trainer_walk_kernel_mode_matches_xla(capsys):
+    """Trainer(use_train_kernel='interpret') on a --dt-ode-step +
+    grid_walk model routes through the WALK twin (ops/walk_train.py) and
+    reproduces the XLA trainer's whole train() run: per-epoch train/val
+    losses and final params, identical shuffle-key streams."""
+    from njode_tpu.utils.training import Trainer
+
+    lr, wd = 1e-3, 5e-4
+
+    def run(kernel):
+        model = _model()
+        tr = Trainer(model, make_adam(lr, wd),
+                     ignore_first_continuity=True,
+                     moment_weights=[1.0, 10.0], seed=0,
+                     use_train_kernel=("interpret" if kernel else False),
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd))
+        train_fn, val_fn = _loaders()
+        hist = tr.train(train_fn, val_fn, n_epochs=3, batch_size=BS,
+                        print_every=1)
+        return hist, tr.params
+
+    h_x, p_x = run(False)
+    h_k, p_k = run(True)
+    out = capsys.readouterr().out
+    assert "train=on (interpreter) (walk twin)" in out, out
+    np.testing.assert_allclose(np.asarray(h_k["train_loss"]),
+                               np.asarray(h_x["train_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_k["val_loss"]),
+                               np.asarray(h_x["val_loss"]), rtol=2e-4)
+    _assert_trees_close(p_x, p_k, rtol=2e-4, atol=2e-5)
+
+
+def test_trainer_walk_check_rejects():
+    """Ineligible --dt-ode-step configs fail --kernels train fast, with
+    every problem listed (the walk-twin fail-fast check)."""
+    from njode_tpu.utils.training import Trainer
+
+    model = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                          num_moments=2, shared_network=False,
+                          dt_ode_step=DT, t_max=1.0)       # grid_walk off
+    tr = Trainer(model, make_adam(1e-3), ignore_first_continuity=False,
+                 use_train_kernel="interpret")
+    train_fn, _ = _loaders()
+    with pytest.raises(ValueError, match="walk twin") as ei:
+        tr.train(train_fn, None, n_epochs=1, batch_size=12)
+    msg = str(ei.value)
+    assert "model config" in msg             # separate networks
+    assert "grid_walk off" in msg
+    assert "ignore_first_continuity" in msg
+    assert "shapes" in msg                   # batch 12 not a multiple of 16
+    assert "train_kernel_opts" in msg
+
+
+def test_auto_walk_train_resolution(monkeypatch):
+    """--kernels auto engages the walk-train kernel exactly in its
+    measured win regime (real TPU + eligible production config +
+    grid-walk promise) and quietly degrades to the composed
+    XLA+walk-kernel path everywhere else."""
+    from njode_tpu.utils import training as T
+    from njode_tpu.utils.training import Trainer
+
+    lr, wd = 1e-3, 5e-4
+
+    def mk(model=None):
+        model = model or _model()
+        tr = Trainer(model, make_adam(lr, wd), ignore_first_continuity=True,
+                     moment_weights=[1.0, 10.0], use_train_kernel="auto",
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd))
+        loader, _ = _loaders()
+        return tr, loader
+
+    tr, loader = mk()
+    # off-TPU (this CI runs on CPU): auto -> XLA, quietly
+    assert tr._auto_walk_train_ok(BS, True, loader) is False
+
+    monkeypatch.setattr(T.jax, "default_backend", lambda: "tpu")
+    assert tr._auto_walk_train_ok(BS, True, loader) is True
+    assert tr._auto_walk_train_ok(BS, False, loader) is False   # no chunks
+    assert tr._auto_walk_train_ok(BS + 1, True, loader) is False  # rows % 16
+
+    # no grid-walk promise -> quiet False
+    m2 = NeuralJumpODE(input_dim=1, hidden_dim=H, output_dim=1,
+                       num_moments=2, shared_network=True,
+                       dt_ode_step=DT, t_max=1.0, grid_walk=False)
+    tr2, loader2 = mk(model=m2)
+    assert tr2._auto_walk_train_ok(BS, True, loader2) is False
+
+    # residual buffer overflow (dt 0.0025 -> 400 cells) -> quiet False
+    m3 = NeuralJumpODE(input_dim=1, hidden_dim=50, output_dim=1,
+                       num_moments=2, shared_network=True,
+                       dt_ode_step=0.0025, t_max=1.0, grid_walk=True)
+    tr3, loader3 = mk(model=m3)
+    assert tr3._auto_walk_train_ok(256, True, loader3) is False
