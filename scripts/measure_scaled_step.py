@@ -11,6 +11,10 @@ Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/measure_scaled_step.py \
       [--arms xla,step] [--dtypes float32,bfloat16] [--m 64] [--hidden 256]
 
+``--hidden`` and ``--batch`` accept comma-separated lists: the full
+(hidden x batch) boundary sweep then runs inside ONE process, so the
+tunnel's first-execute transport cost is paid once, not per cell.
+
 Prints one line per (arm, dtype): marginal step ms, achieved TFLOP/s from
 XLA cost analysis of the single step, and MFU vs the v5e 197 TF bf16 peak.
 """
@@ -32,8 +36,10 @@ def main():
     ap.add_argument("--arms", type=str, default="xla,step")
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
     ap.add_argument("--m", type=int, default=64)
-    ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--hidden", type=str, default="256",
+                    help="hidden dim, or a comma-separated sweep list")
+    ap.add_argument("--batch", type=str, default="4096",
+                    help="batch rows, or a comma-separated sweep list")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--shared", action="store_true",
                     help="measure the shared-network variant of the config")
@@ -59,118 +65,128 @@ def main():
     devices = ensure_backend()
     log(f"platform={devices[0].platform}")
 
-    B = args.batch
-    batch = simulate_batch(jax.random.PRNGKey(0), B, "black_scholes", 0.02,
-                           obs_only=True, T=1.0, n_steps=100, mu=0.1,
-                           sigma=0.5, x0=1.0)
-    times, values, mask = batch.times, batch.values, batch.mask
-    log(f"batch: times {times.shape}")
     nonce = int.from_bytes(os.urandom(4), "little")
 
     peak_bf16 = 197e12  # v5e MXU peak (bf16); f32 runs at half
 
-    results = {}
-    for dtype in args.dtypes.split(","):
-        cdt = None if dtype == "float32" else dtype
-        for arm in args.arms.split(","):
-            model = NeuralJumpODE(
-                input_dim=1, hidden_dim=args.hidden, output_dim=1,
-                num_moments=2, n_hidden_layers=1, activation="relu",
-                variance_method="direct", t_max=1.0,
-                shared_network=args.shared,
-                use_pallas=("step" if arm in ("step", "packed") else False),
-                compute_dtype=cdt)
-            if arm in ("step", "packed") and not model._use_fused_step(
-                    times.shape[1]):
-                log(f"SKIP {arm}/{dtype}: kernel ineligible")
-                continue
-            tx = make_adam(1e-3, 5e-4)
-            params = model.init(jax.random.PRNGKey(0))
+    hiddens = [int(h) for h in str(args.hidden).split(",")]
+    batches = [int(b) for b in str(args.batch).split(",")]
+    sweep = len(hiddens) > 1 or len(batches) > 1
+    all_results = {}
+    for B in batches:
+      batch = simulate_batch(jax.random.PRNGKey(0), B, "black_scholes", 0.02,
+                             obs_only=True, T=1.0, n_steps=100, mu=0.1,
+                             sigma=0.5, x0=1.0)
+      times, values, mask = batch.times, batch.values, batch.mask
+      log(f"batch: times {times.shape}")
+      for hidden in hiddens:
+        results = {}
+        all_results[(hidden, B)] = results
+        if sweep:
+            print(f"--- hidden {hidden} x batch {B} ---", flush=True)
+        for dtype in args.dtypes.split(","):
+            cdt = None if dtype == "float32" else dtype
+            for arm in args.arms.split(","):
+                model = NeuralJumpODE(
+                    input_dim=1, hidden_dim=hidden, output_dim=1,
+                    num_moments=2, n_hidden_layers=1, activation="relu",
+                    variance_method="direct", t_max=1.0,
+                    shared_network=args.shared,
+                    use_pallas=("step" if arm in ("step", "packed") else False),
+                    compute_dtype=cdt)
+                if arm in ("step", "packed") and not model._use_fused_step(
+                        times.shape[1]):
+                    log(f"SKIP {arm}/{dtype}: kernel ineligible")
+                    continue
+                tx = make_adam(1e-3, 5e-4)
+                params = model.init(jax.random.PRNGKey(0))
 
-            if arm == "packed":
-                # train state = the kernel's padded tensors; zero per-step
-                # pytree<->padded packing glue (ops/fused_step.py)
-                from njode_tpu.ops.fused_step import (fused_step_apply_packed,
-                                                      pack_params,
-                                                      packed_state_safe)
-                assert packed_state_safe("relu", "identity")
-                params = pack_params(params, num_moments=2,
-                                     hidden_dim=args.hidden,
-                                     shared_network=args.shared)
-            opt_state = tx.init(params)
+                if arm == "packed":
+                    # train state = the kernel's padded tensors; zero per-step
+                    # pytree<->padded packing glue (ops/fused_step.py)
+                    from njode_tpu.ops.fused_step import (fused_step_apply_packed,
+                                                          pack_params,
+                                                          packed_state_safe)
+                    assert packed_state_safe("relu", "identity")
+                    params = pack_params(params, num_moments=2,
+                                         hidden_dim=hidden,
+                                         shared_network=args.shared)
+                opt_state = tx.init(params)
 
-            def one_step(p, s):
-                def loss_fn(pp):
-                    if arm == "packed":
-                        preds, before = fused_step_apply_packed(
-                            *pp, times, values, num_moments=2,
-                            activation="relu", input_scaling="identity",
-                            compute_dtype=model.compute_dtype,
-                            shared_network=args.shared)
-                    else:
-                        preds, before = model.apply(pp, times, values, mask)
-                    return nj_ode_loss_dense(values, preds, before, mask,
-                                             ignore_first_continuity=True,
-                                             moment_weights=[1.0, 10.0])
-                loss, g = jax.value_and_grad(loss_fn)(p)
-                updates, s = tx.update(g, s, p)
-                return optax.apply_updates(p, updates), s, loss
+                def one_step(p, s):
+                    def loss_fn(pp):
+                        if arm == "packed":
+                            preds, before = fused_step_apply_packed(
+                                *pp, times, values, num_moments=2,
+                                activation="relu", input_scaling="identity",
+                                compute_dtype=model.compute_dtype,
+                                shared_network=args.shared)
+                        else:
+                            preds, before = model.apply(pp, times, values, mask)
+                        return nj_ode_loss_dense(values, preds, before, mask,
+                                                 ignore_first_continuity=True,
+                                                 moment_weights=[1.0, 10.0])
+                    loss, g = jax.value_and_grad(loss_fn)(p)
+                    updates, s = tx.update(g, s, p)
+                    return optax.apply_updates(p, updates), s, loss
 
-            def chain(n):
-                def run(p, s, key):
-                    # fold the key in so the remote execution service can't
-                    # memoize (program, inputs) across timing reps
-                    p = jax.tree_util.tree_map(
-                        lambda x: x + 0.0 * jax.random.uniform(key, ()), p)
+                def chain(n):
+                    def run(p, s, key):
+                        # fold the key in so the remote execution service can't
+                        # memoize (program, inputs) across timing reps
+                        p = jax.tree_util.tree_map(
+                            lambda x: x + 0.0 * jax.random.uniform(key, ()), p)
 
-                    def body(c, _):
-                        p, s = c
-                        p, s, loss = one_step(p, s)
-                        return (p, s), loss
-                    (p, s), losses = lax.scan(body, (p, s), None, length=n)
-                    return losses[-1]
-                return jax.jit(run)
+                        def body(c, _):
+                            p, s = c
+                            p, s, loss = one_step(p, s)
+                            return (p, s), loss
+                        (p, s), losses = lax.scan(body, (p, s), None, length=n)
+                        return losses[-1]
+                    return jax.jit(run)
 
-            f1, f4 = chain(args.m), chain(4 * args.m)
-            try:
-                cost = (jax.jit(one_step).lower(params, opt_state)
-                        .compile().cost_analysis())
-                step_flops = float(cost.get("flops", 0.0))
-            except Exception:
-                step_flops = 0.0
+                f1, f4 = chain(args.m), chain(4 * args.m)
+                try:
+                    cost = (jax.jit(one_step).lower(params, opt_state)
+                            .compile().cost_analysis())
+                    step_flops = float(cost.get("flops", 0.0))
+                except Exception:
+                    step_flops = 0.0
 
-            key = jax.random.fold_in(jax.random.PRNGKey(1), nonce)
-            t0 = time.perf_counter()
-            np.asarray(f1(params, opt_state, key))
-            np.asarray(f4(params, opt_state, key))
-            log(f"{arm}/{dtype}: warmup+compile {time.perf_counter()-t0:.1f}s")
-
-            deltas = []
-            for rep in range(args.reps):
-                k = jax.random.fold_in(key, rep + 1)
+                key = jax.random.fold_in(jax.random.PRNGKey(1), nonce)
                 t0 = time.perf_counter()
-                np.asarray(f1(params, opt_state, k))
-                t1 = time.perf_counter()
-                np.asarray(f4(params, opt_state, k))
-                t2 = time.perf_counter()
-                deltas.append(((t2 - t1) - (t1 - t0)) / (3 * args.m))
-            step_s = min(deltas)
-            tflops = step_flops / step_s / 1e12 if step_flops else 0.0
-            mfu = tflops * 1e12 / peak_bf16 * 100.0
-            results[(arm, dtype)] = (step_s, tflops, mfu)
-            print(f"{arm:5s} {dtype:8s}  step {step_s*1e3:7.3f} ms  "
-                  f"{tflops:6.1f} TF/s  MFU(bf16-peak) {mfu:5.1f}%  "
-                  f"(flops/step {step_flops:.3g}, deltas "
-                  f"{[f'{d*1e3:.3f}' for d in deltas]})", flush=True)
+                np.asarray(f1(params, opt_state, key))
+                np.asarray(f4(params, opt_state, key))
+                log(f"{arm}/{dtype}: warmup+compile {time.perf_counter()-t0:.1f}s")
 
-    for dtype in args.dtypes.split(","):
-        a = results.get(("xla", dtype))
-        for other in ("step", "packed"):
-            b = results.get((other, dtype))
-            if a and b:
-                print(f"speedup {dtype}: {a[0]/b[0]:.2f}x "
-                      f"(xla {a[0]*1e3:.3f} ms -> {other} {b[0]*1e3:.3f} ms)",
-                      flush=True)
+                deltas = []
+                for rep in range(args.reps):
+                    k = jax.random.fold_in(key, rep + 1)
+                    t0 = time.perf_counter()
+                    np.asarray(f1(params, opt_state, k))
+                    t1 = time.perf_counter()
+                    np.asarray(f4(params, opt_state, k))
+                    t2 = time.perf_counter()
+                    deltas.append(((t2 - t1) - (t1 - t0)) / (3 * args.m))
+                step_s = min(deltas)
+                tflops = step_flops / step_s / 1e12 if step_flops else 0.0
+                mfu = tflops * 1e12 / peak_bf16 * 100.0
+                results[(arm, dtype)] = (step_s, tflops, mfu)
+                print(f"{arm:5s} {dtype:8s}  step {step_s*1e3:7.3f} ms  "
+                      f"{tflops:6.1f} TF/s  MFU(bf16-peak) {mfu:5.1f}%  "
+                      f"(flops/step {step_flops:.3g}, deltas "
+                      f"{[f'{d*1e3:.3f}' for d in deltas]})", flush=True)
+
+    for (hidden, B), results in all_results.items():
+        cell = f"h{hidden}/B{B}: " if sweep else ""
+        for dtype in args.dtypes.split(","):
+            a = results.get(("xla", dtype))
+            for other in ("step", "packed"):
+                b = results.get((other, dtype))
+                if a and b:
+                    print(f"{cell}speedup {dtype}: {a[0]/b[0]:.2f}x "
+                          f"(xla {a[0]*1e3:.3f} ms -> {other} "
+                          f"{b[0]*1e3:.3f} ms)", flush=True)
 
 
 if __name__ == "__main__":
