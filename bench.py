@@ -103,6 +103,12 @@ def main():
                     help="disable kernel auto-selection (--scaled defaults "
                          "to the fused-step kernel on eligible configs; "
                          "other recipes default to pure XLA)")
+    ap.add_argument("--train-kernel-mxu", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="matmul operand precision inside the whole-run "
+                         "training kernels (f32 accumulation); bfloat16 "
+                         "measured 12.9x the composed production step "
+                         "(BENCH_NOTES.md r4a)")
     ap.add_argument("--no-pallas-train", action="store_true",
                     help="veto ONLY the whole-run training kernel's auto-"
                          "engagement (keeps the walk/step kernels' auto "
@@ -352,7 +358,8 @@ def main():
                     st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
                     hidden_dim=args.hidden_dim,
                     dt_ode_step=args.dt_ode_step, max_substeps=M_cells,
-                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
+                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS,
+                    mxu_dtype=args.train_kernel_mxu)
                 params = unpack_walk_params(st[0], st[1], num_moments=2,
                                             hidden_dim=args.hidden_dim)
             else:
@@ -360,7 +367,8 @@ def main():
                                       hidden_dim=args.hidden_dim)
                 st, step_losses = fused_train_run(
                     st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
-                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS)
+                    lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS,
+                    mxu_dtype=args.train_kernel_mxu)
                 params = train_state_params(st, num_moments=2,
                                             hidden_dim=args.hidden_dim)
             return params, opt_state, step_losses.reshape(E, nb).mean(axis=1)

@@ -189,7 +189,7 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'kernel for streaming inference, the whole-'
                              'run training kernel for eligible small-model '
                              'TPU configs, and the fused-step kernel for '
-                             'MXU-bound configs (hidden >= 192, >= 4096 '
+                             'MXU-bound configs (hidden >= 224, >= 4096 '
                              'rows) — the headline-bench fast paths; '
                              'off = pure XLA, force = all '
                              'per-gap kernels on, step = the fused whole-'
@@ -205,6 +205,14 @@ def add_common_args(parser: argparse.ArgumentParser,
                              'grid-aligned data, 7x the composed '
                              'production step). auto engages whichever '
                              'twin the recipe makes eligible')
+    parser.add_argument('--train-kernel-mxu', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='matmul OPERAND precision inside the whole-run '
+                             'training kernels (accumulation stays f32): '
+                             'bfloat16 measured 12.9x the composed '
+                             'production step vs 7.0x at f32 '
+                             '(BENCH_NOTES.md r4a) at a small training-'
+                             'noise cost; ignored on non-kernel paths')
     parser.add_argument('--debug-checks', action='store_true',
                         help='Enable in-graph runtime asserts (substep-'
                              'budget exhaustion inside jitted steps); costs '
@@ -294,6 +302,7 @@ def build_config(args, experiment_name: str, process_type: str,
         "use_pallas": {"off": False, "auto": "auto", "force": True,
                        "step": "step", "train": "train"}[args.kernels],
         "grid_walk": args.grid_walk,
+        "train_kernel_mxu": args.train_kernel_mxu,
         "debug_checks": args.debug_checks,
         "seed": args.seed,
         "data_seed": args.data_seed,

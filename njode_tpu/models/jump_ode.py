@@ -238,9 +238,9 @@ class NeuralJumpODE:
     def _use_fused_step(self, n_slots: int, n_rows: int = 0) -> bool:
         if self.use_pallas == "auto":
             # measured-win regime only (scripts/measure_scaled_step.py,
-            # BENCH_NOTES.md r3d): MXU-bound configs — hidden >= 192 with
-            # a large folded row count; smaller points measured neutral
-            # or inconclusive and stay on XLA.  Shared-network configs
+            # BENCH_NOTES.md r3d + r4c): MXU-bound configs — hidden >= 224
+            # with a large folded row count; smaller points measured
+            # neutral, erratic, or losing across rounds and stay on XLA.  Shared-network configs
             # measured SLOWER in the kernel (0.91x, BENCH_NOTES r3b) —
             # the shared mode is opt-in ('step') only.
             from ..ops.fused_step import AUTO_MIN_HIDDEN, AUTO_MIN_ROWS

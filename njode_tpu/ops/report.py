@@ -87,10 +87,10 @@ def _step_reason(model, n_slots: Optional[int],
                    "BENCH_NOTES r3b; opt in with --kernels step)"
         if model.hidden_dim < AUTO_MIN_HIDDEN:
             return (f"hidden_dim {model.hidden_dim} < {AUTO_MIN_HIDDEN} "
-                    "(XLA measured at least as fast below, BENCH_NOTES r3d)")
+                    "(XLA measured at least as fast below, BENCH_NOTES r3d+r4c)")
         if n_rows is not None and n_rows < AUTO_MIN_ROWS:
             return (f"folded rows {n_rows} < {AUTO_MIN_ROWS} "
-                    "(XLA measured at least as fast below, BENCH_NOTES r3d)")
+                    "(XLA measured at least as fast below, BENCH_NOTES r3d+r4c)")
     if model.compute_dtype is not None:
         import jax.numpy as jnp
         if model.compute_dtype is not jnp.bfloat16:

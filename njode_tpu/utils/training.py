@@ -398,6 +398,10 @@ class Trainer:
         for k in ("lr", "weight_decay"):
             if k not in self.train_kernel_opts:
                 problems.append(f"train_kernel_opts missing {k!r}")
+        mxu = self.train_kernel_opts.get("mxu_dtype", "float32")
+        if mxu not in ("float32", "bfloat16"):
+            problems.append(f"train_kernel_opts['mxu_dtype']={mxu!r} must "
+                            "be 'float32' or 'bfloat16'")
         # catch a kernel that would silently train with different lr/wd
         # than the optax state it round-trips through (resume on the XLA
         # path would then switch hyperparameters mid-run): a make_adam
@@ -612,6 +616,7 @@ class Trainer:
         betas = tuple(float(b) for b in
                       self.train_kernel_opts.get("betas", (0.9, 0.999)))
         adam_eps = float(self.train_kernel_opts.get("adam_eps", 1e-8))
+        mxu = str(self.train_kernel_opts.get("mxu_dtype", "float32"))
         mw = tuple(self.moment_weights) if self.moment_weights else (1.0, 1.0)
         cached = None
         if loader.cache:
@@ -644,7 +649,7 @@ class Trainer:
                         lr=lr, weight_decay=wd, moment_weights=mw,
                         variance_method=self.variance_method,
                         interpret=interpret, betas=betas, adam_eps=adam_eps,
-                        activation=m._act_key,
+                        activation=m._act_key, mxu_dtype=mxu,
                         input_scaling=m._scale_key, **kd)
                 else:
                     kst2, step_losses = fused_train_run(
@@ -653,7 +658,7 @@ class Trainer:
                         variance_method=self.variance_method,
                         interpret=interpret,
                         num_moments=self.model.num_moments,
-                        betas=betas, adam_eps=adam_eps,
+                        betas=betas, adam_eps=adam_eps, mxu_dtype=mxu,
                         activation=self.model._act_key,
                         input_scaling=self.model._scale_key)
                 tr_loss = jnp.mean(step_losses)
@@ -1362,7 +1367,9 @@ def run_experiment(config: Dict, save_dir: str = "runs") -> Dict:
                       use_train_kernel=use_train_kernel,
                       train_kernel_opts=dict(
                           lr=config["learning_rate"],
-                          weight_decay=config["weight_decay"]))
+                          weight_decay=config["weight_decay"],
+                          mxu_dtype=config.get("train_kernel_mxu",
+                                               "float32")))
 
     train_data_fn, val_data_fn = create_data_loaders(
         base_seed=config.get("data_seed", 0), **config["data"])

@@ -236,11 +236,11 @@ def test_auto_kernels_disabled_inside_ensemble(monkeypatch):
     ensemble on the pure-XLA path: vmap-of-pallas runs members sequentially
     (measured 0.82x, BENCH_NOTES r3c), so 'auto' (= measured-best) drops
     the kernels inside the vmapped program.  With a faked TPU backend the
-    fused-step kernel WOULD engage at these shapes (hidden 192, 8192 folded
+    fused-step kernel WOULD engage at these shapes (hidden 256, 8192 folded
     rows) and a real pallas_call would crash this CPU run — passing proves
     the ensemble trainer's guard.  The caller's model keeps its policy."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    model = NeuralJumpODE(input_dim=1, hidden_dim=192, output_dim=1,
+    model = NeuralJumpODE(input_dim=1, hidden_dim=256, output_dim=1,
                           num_moments=2, use_pallas="auto")
     assert model._use_fused_step(3, n_rows=8192) is True  # would engage
     _, losses = train_ensemble(model, "black_scholes", n_seeds=2,

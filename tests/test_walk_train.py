@@ -367,3 +367,36 @@ def test_auto_walk_train_resolution(monkeypatch):
                        dt_ode_step=0.0025, t_max=1.0, grid_walk=True)
     tr3, loader3 = mk(model=m3)
     assert tr3._auto_walk_train_ok(256, True, loader3) is False
+
+
+def test_trainer_walk_kernel_mxu_bfloat16():
+    """train_kernel_opts['mxu_dtype'] plumbs through the Trainer to the
+    kernel: bf16 matmul operands (f32 accumulation) train to within a few
+    percent of the f32 run, and an unknown dtype fails the fail-fast
+    check by name."""
+    from njode_tpu.utils.training import Trainer
+
+    lr, wd = 1e-3, 5e-4
+
+    def run(mxu):
+        model = _model()
+        tr = Trainer(model, make_adam(lr, wd),
+                     ignore_first_continuity=True,
+                     moment_weights=[1.0, 10.0], seed=0,
+                     use_train_kernel="interpret",
+                     train_kernel_opts=dict(lr=lr, weight_decay=wd,
+                                            mxu_dtype=mxu))
+        train_fn, val_fn = _loaders()
+        return tr.train(train_fn, val_fn, n_epochs=2, batch_size=BS,
+                        print_every=1)
+
+    h32 = run("float32")
+    h16 = run("bfloat16")
+    a = np.asarray(h16["train_loss"])
+    b = np.asarray(h32["train_loss"])
+    assert np.all(np.isfinite(a))
+    assert not np.allclose(a, b, rtol=1e-7)     # bf16 rounding is real
+    np.testing.assert_allclose(a, b, rtol=0.05)  # but small
+
+    with pytest.raises(ValueError, match="mxu_dtype"):
+        run("float16")
