@@ -1,7 +1,7 @@
 """Kernel-engagement report: which Pallas kernel carries which piece of a
 run, and — when one is declined — the FIRST failing eligibility reason.
 
-The five kernels (walk / train / step / gap / cell) each gate on a
+The six kernels (walk / train + its walk twin / step / gap / cell) each gate on a
 measured win regime plus config eligibility; under ``--kernels auto`` an
 ineligible config silently degrades to the XLA path.  This module turns
 those decisions into one human-readable line so no degradation path is
@@ -111,7 +111,7 @@ def _step_reason(model, n_slots: Optional[int],
 def kernel_report(model, *, n_rows: Optional[int] = None,
                   n_slots: Optional[int] = None,
                   train_kernel: Optional[str] = None) -> str:
-    """One-line engagement report over the five Pallas kernels.
+    """One-line engagement report over the Pallas kernels.
 
     ``n_rows``/``n_slots`` are the training batch rows and observation
     slots when known.  ``train_kernel`` is the Trainer's own whole-run
