@@ -448,6 +448,32 @@ def main():
     log(f"bench: val MSE mean={mse_mean:.2e} var={mse_var:.2e} "
         f"relative_loss={rel:.4f}")
 
+    # ---- MFU: logical model FLOPs through the timed region / peak ----
+    # Counts matmul multiply-adds (x2) of the model's forward pass at the
+    # LOGICAL shapes (no lane padding), backward = 2x forward (the standard
+    # convention), Adam/datagen/loss excluded.  Peak = 197 TF (v5e bf16) —
+    # the same denominator every BENCH_NOTES MFU row uses, so f32 arms read
+    # as a fraction of the hardware's canonical peak, not of an f32 roof.
+    H, K, d_x = args.hidden_dim, 2, 1
+    N_s = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
+                             args.obs_fraction, obs_only=obs_only,
+                             **P).times.shape[1])
+    S_gaps = N_s - 1
+    substeps = (int(round(P["T"] / args.dt_ode_step)) if args.dt_ode_step
+                else S_gaps)
+    nets = 1 if args.shared_network else K
+    out_cols = K if args.shared_network else 1
+    fwd = nets * 2 * (
+        N_s * (d_x * H + H * H)                    # jump MLP per slot
+        + (2 * N_s - 1) * (H * H + H * out_cols)   # readout per prediction
+        + substeps * ((H + d_x + 2) * H + H * H))  # ODEFunc per substep
+    total_flops = 3 * fwd * n * E                  # fwd + bwd, all steps
+    PEAK_FLOPS = 197e12
+    tflops_per_s = total_flops / train_s / 1e12
+    mfu = total_flops / train_s / PEAK_FLOPS
+    log(f"bench: model {total_flops / 1e9:.1f} GFLOP in {train_s:.3f}s = "
+        f"{tflops_per_s:.2f} TF/s, MFU {100 * mfu:.2f}% of 197 TF bf16 peak")
+
     baseline = float(os.environ.get("NJODE_BASELINE_TRAJ_PER_SEC",
                                     DEFAULT_BASELINE_TRAJ_PER_SEC))
     print(json.dumps({
@@ -458,6 +484,8 @@ def main():
         "walltime_s": round(train_s, 3),
         "compile_s": round(compile_s, 1),
         "n_train": n, "n_epochs": E,
+        "mfu": round(mfu, 5),
+        "model_tflops_per_s": round(tflops_per_s, 3),
         "val_mse_mean": mse_mean,
         "val_mse_var": mse_var,
         "relative_loss": rel,

@@ -75,11 +75,16 @@ N_VEC = 16
 # W planes
 (MAT_J2, MAT_O1, MAT_W1, MAT_W2) = range(4)
 
-# VMEM budget for the per-cell residual buffer (M, RT, LANES) f32 — the
-# walk backward reads post-reset states from it instead of recomputing or
-# streaming; everything else (params, Adam, slot tables, activations) is
-# small beside it.
-_RESID_ROWS_MAX = 12288          # M * RT <= this (6 MiB of f32 lanes)
+# VMEM budget for the big per-row scratch: the per-cell residual buffer
+# (M, RT, LANES) f32 — the walk backward reads post-reset states from it
+# instead of recomputing or streaming — PLUS the two (N, RT, LANES) slot
+# tables (sHM/sCT) and the two (RT, LANES) carries.  Near the 63-slot cap
+# the slot tables rival the residual buffer, so the budget counts them
+# all: (M + 2*n_slots + 2) * RT <= _VMEM_ROWS_MAX keeps 'auto' quiet for
+# configs that would pass a residual-only check and then die at Mosaic
+# compile on VMEM (ADVICE r4).  14336 rows = 7 MiB of f32 lanes; params +
+# Adam planes add a fixed ~2 MiB beside it.
+_VMEM_ROWS_MAX = 14336
 
 
 def walk_train_available(shared_network, input_dim, output_dim,
@@ -106,7 +111,7 @@ def walk_train_shapes_ok(hidden_dim: int, batch_size, n_slots: int,
         return False
     rt = batch_size // nh
     return (2 * n_slots + 1 <= LANES
-            and max_substeps * rt <= _RESID_ROWS_MAX)
+            and (max_substeps + 2 * n_slots + 2) * rt <= _VMEM_ROWS_MAX)
 
 
 # --------------------------------------------------------------------------
@@ -689,8 +694,8 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
             f"walk-train kernel: shapes not eligible (hidden_dim "
             f"{hidden_dim} needs hidden+3 <= {LANES}/n_halves; batch_size "
             f"{batch_size} must be a multiple of {8 * n_halves(hidden_dim)} "
-            f"and <= 256; 2*n_slots+1 <= {LANES}; max_substeps * packed "
-            f"rows <= {_RESID_ROWS_MAX})")
+            f"and <= 256; 2*n_slots+1 <= {LANES}; (max_substeps + "
+            f"2*n_slots + 2) * packed rows <= {_VMEM_ROWS_MAX})")
     if data.shape[0] % batch_size:
         raise ValueError("walk-train kernel: data rows must be a whole "
                          "number of minibatches")

@@ -25,6 +25,10 @@ from ..simulation.moments import moments_at_obs
 # dispatch op-by-op, which this backend charges ~1s/compile for (CLAUDE.md).
 # Keyed on the model OBJECT via weakref: an id()-keyed dict could silently
 # serve a stale compiled metric to a new model that reused the id after GC.
+# The cached closures hold only a WEAK reference to the model — a strong
+# capture would live in the cache VALUE and pin the key alive forever
+# (WeakKeyDictionary evicts only when the key becomes unreachable), so
+# dead-model entries would never actually be freed.
 _JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -51,7 +55,16 @@ def _get_jitted(kind: str, model: NeuralJumpODE, process_type: str,
     if key in per_model:
         return per_model[key]
 
+    model_ref = weakref.ref(model)
+
+    def _model():
+        m = model_ref()
+        if m is None:  # pragma: no cover - reachable only via a stale handle
+            raise RuntimeError("metric jit cache: model was garbage-collected")
+        return m
+
     def rel_fn(params, batch):
+        model = _model()
         preds, preds_before = model.apply(params, batch.times, batch.values,
                                           batch.mask)
         L_model = nj_ode_loss_dense(batch.values, preds, preds_before,
@@ -65,6 +78,7 @@ def _get_jitted(kind: str, model: NeuralJumpODE, process_type: str,
         return (L_model - L_true) / jnp.maximum(L_true, 1e-8)
 
     def mse_fn(params, batch):
+        model = _model()
         _, preds_before = model.apply(params, batch.times, batch.values,
                                       batch.mask)
         _, ytb = _truths(model, batch, process_type, variance_method,

@@ -440,7 +440,7 @@ class Trainer:
         kernel — the production ``--dt-ode-step`` twin of the whole-run
         training kernel (ops/walk_train.py) — can't represent this setup."""
         from ..ops.walk_scan import n_halves
-        from ..ops.walk_train import (_RESID_ROWS_MAX, LANES,
+        from ..ops.walk_train import (_VMEM_ROWS_MAX, LANES,
                                       walk_train_available,
                                       walk_train_shapes_ok)
         m = self.model
@@ -476,10 +476,11 @@ class Trainer:
             nh = n_halves(m.hidden_dim)
             problems.append(
                 f"shapes (needs hidden_dim + 3 <= {LANES // nh}, batch_size "
-                f"a multiple of {8 * nh} and <= 256 with grid cells x "
-                f"batch/{nh} <= {_RESID_ROWS_MAX} VMEM residual rows, "
-                f"2*n_slots + 1 <= {LANES}; got hidden {m.hidden_dim}, "
-                f"batch {batch_size}, {M} cells, n_slots {n_slots})")
+                f"a multiple of {8 * nh} and <= 256 with (grid cells + "
+                f"2*n_slots + 2) x batch/{nh} <= {_VMEM_ROWS_MAX} VMEM "
+                f"scratch rows, 2*n_slots + 1 <= {LANES}; got hidden "
+                f"{m.hidden_dim}, batch {batch_size}, {M} cells, "
+                f"n_slots {n_slots})")
         problems += self._kernel_opts_problems()
         if problems:
             raise ValueError("--kernels train (walk twin) not applicable: "

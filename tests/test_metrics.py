@@ -71,6 +71,15 @@ def test_jit_cache_keyed_on_live_model():
     gc.collect()
     r1 = one(1)  # different static config; id() may collide with the GC'd model
     assert r1["var"] is None and r2["var"] is not None
-    # weakref keying: entries for dead models are dropped
+    # weakref keying: entries for dead models are actually dropped (the
+    # cached closures must not capture the model strongly, or the value
+    # would pin the key alive and the cache would grow without bound)
     gc.collect()
-    assert all(k is not None for k in M._JIT_CACHE.keys())
+    base = len(M._JIT_CACHE)
+    m = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1, num_moments=2)
+    p = m.init(jax.random.PRNGKey(0))
+    conditional_moment_mse(m, p, b, "black_scholes", mu=0.1, sigma=0.5)
+    assert len(M._JIT_CACHE) == base + 1
+    del m, p
+    gc.collect()
+    assert len(M._JIT_CACHE) == base
