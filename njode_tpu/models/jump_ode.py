@@ -263,11 +263,9 @@ class NeuralJumpODE:
             import jax as _jax
             if _jax.default_backend() != "tpu":
                 return False  # Mosaic only; CPU runs fall back to XLA
-        from ..ops.fused_step import LANES, MAX_SHARED_K, _slot_cols
-        if self.shared_network and self.num_moments > MAX_SHARED_K:
-            return False
-        return (2 * n_slots <= LANES
-                and _slot_cols(n_slots, self.num_moments) <= LANES)
+        from ..ops.fused_step import fused_step_fits
+        return fused_step_fits(n_slots, self.num_moments, self.input_dim,
+                               self.output_dim)
 
     def _use_fused(self) -> bool:
         # the per-substep fused cell only wins when explicitly requested
@@ -790,7 +788,9 @@ class NeuralJumpODE:
                 input_scaling=self._scale_key,
                 compute_dtype=self.compute_dtype,
                 interpret=(self.use_pallas == "step-interpret"),
-                shared_network=self.shared_network)
+                shared_network=self.shared_network,
+                input_dim=self.input_dim, output_dim=self.output_dim,
+                n_hidden_layers=self.n_hidden_layers)
 
         # ---- jump + after-jump readout at ALL slots: fold (B, N) ----
         x_flat = values.reshape(B * N, d_x)

@@ -65,17 +65,12 @@ def _step_reason(model, n_slots: Optional[int],
                  n_rows: Optional[int]) -> str:
     """First failing eligibility reason for the fused whole-step kernel."""
     from .fused_step import (AUTO_MIN_HIDDEN, AUTO_MIN_ROWS, HAS_PALLAS,
-                             LANES, MAX_SHARED_K, _slot_cols)
+                             LANES, _slot_cols, fused_step_fits)
     if not HAS_PALLAS:
         return "pallas unavailable"
     if not model._step_eligible:
         if model.dt_ode_step is not None:
             return "--dt-ode-step set (substep gaps ride the walk kernel)"
-        if model.input_dim != 1 or model.output_dim != 1:
-            return (f"input/output dim ({model.input_dim}/{model.output_dim})"
-                    " != 1")
-        if model.n_hidden_layers != 1:
-            return f"n_hidden_layers {model.n_hidden_layers} != 1"
         if model.dropout_rate != 0.0:
             return "dropout unsupported"
         if model.ode_solver != "euler":
@@ -95,13 +90,15 @@ def _step_reason(model, n_slots: Optional[int],
         import jax.numpy as jnp
         if model.compute_dtype is not jnp.bfloat16:
             return "compute dtype must be f32 or bf16"
-    if n_slots is not None:
-        if 2 * n_slots > LANES:
-            return f"2*n_slots {2 * n_slots} > {LANES} output lanes"
-        if _slot_cols(n_slots, model.num_moments) > LANES:
-            return "K*(2N-1) prediction columns exceed the lane packing"
-    if model.shared_network and model.num_moments > MAX_SHARED_K:
-        return f"shared-mode num_moments {model.num_moments} > {MAX_SHARED_K}"
+    if (n_slots is not None
+            and not fused_step_fits(n_slots, model.num_moments,
+                                    model.input_dim, model.output_dim)):
+        if n_slots * (model.input_dim + 1) > LANES:
+            return (f"N*(d_x+1) = {n_slots * (model.input_dim + 1)} "
+                    f"input lanes > {LANES}")
+        return (f"d_y*K*(2N-1) = "
+                f"{_slot_cols(n_slots, model.num_moments, model.output_dim)}"
+                f" prediction columns > {LANES} output lanes")
     import jax
     if jax.default_backend() != "tpu":
         return "not on TPU"

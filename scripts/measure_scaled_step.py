@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--shared", action="store_true",
                     help="measure the shared-network variant of the config")
+    ap.add_argument("--input-dim", type=int, default=1,
+                    help="d_x > 1 measures the widened kernel on "
+                         "black_scholes_nd data (output_dim follows d_x)")
+    ap.add_argument("--layers", type=int, default=1,
+                    help="n_hidden_layers (the r5 widened kernel)")
     args = ap.parse_args()
 
     import jax
@@ -73,10 +78,17 @@ def main():
     batches = [int(b) for b in str(args.batch).split(",")]
     sweep = len(hiddens) > 1 or len(batches) > 1
     all_results = {}
+    d_x = args.input_dim
     for B in batches:
-      batch = simulate_batch(jax.random.PRNGKey(0), B, "black_scholes", 0.02,
-                             obs_only=True, T=1.0, n_steps=100, mu=0.1,
-                             sigma=0.5, x0=1.0)
+      if d_x > 1:
+          batch = simulate_batch(jax.random.PRNGKey(0), B,
+                                 "black_scholes_nd", 0.02, dims=d_x,
+                                 obs_only=True, T=1.0, n_steps=100,
+                                 mu=0.1, sigma=0.5)
+      else:
+          batch = simulate_batch(jax.random.PRNGKey(0), B, "black_scholes",
+                                 0.02, obs_only=True, T=1.0, n_steps=100,
+                                 mu=0.1, sigma=0.5, x0=1.0)
       times, values, mask = batch.times, batch.values, batch.mask
       log(f"batch: times {times.shape}")
       for hidden in hiddens:
@@ -88,8 +100,9 @@ def main():
             cdt = None if dtype == "float32" else dtype
             for arm in args.arms.split(","):
                 model = NeuralJumpODE(
-                    input_dim=1, hidden_dim=hidden, output_dim=1,
-                    num_moments=2, n_hidden_layers=1, activation="relu",
+                    input_dim=d_x, hidden_dim=hidden, output_dim=d_x,
+                    num_moments=2, n_hidden_layers=args.layers,
+                    activation="relu",
                     variance_method="direct", t_max=1.0,
                     shared_network=args.shared,
                     use_pallas=("step" if arm in ("step", "packed") else False),
@@ -110,7 +123,9 @@ def main():
                     assert packed_state_safe("relu", "identity")
                     params = pack_params(params, num_moments=2,
                                          hidden_dim=hidden,
-                                         shared_network=args.shared)
+                                         shared_network=args.shared,
+                                         input_dim=d_x, output_dim=d_x,
+                                         n_hidden_layers=args.layers)
                 opt_state = tx.init(params)
 
                 def one_step(p, s):
@@ -120,7 +135,9 @@ def main():
                                 *pp, times, values, num_moments=2,
                                 activation="relu", input_scaling="identity",
                                 compute_dtype=model.compute_dtype,
-                                shared_network=args.shared)
+                                shared_network=args.shared,
+                                input_dim=d_x, output_dim=d_x,
+                                n_hidden_layers=args.layers)
                         else:
                             preds, before = model.apply(pp, times, values, mask)
                         return nj_ode_loss_dense(values, preds, before, mask,

@@ -28,11 +28,11 @@ def _models(**kw):
     return xla, fused, params
 
 
-def _batch(B, N, seed=1):
+def _batch(B, N, seed=1, d_x=1):
     kt, kv = jax.random.split(jax.random.PRNGKey(seed))
     times = jnp.sort(jax.random.uniform(kt, (B, N)), axis=1)
     times = times.at[:, 0].set(0.0)
-    values = jax.random.normal(kv, (B, N, 1)) + 1.0
+    values = jax.random.normal(kv, (B, N, d_x)) + 1.0
     return times, values
 
 
@@ -273,10 +273,10 @@ def test_eligibility_gating():
     """Ineligible configs silently use the XLA path (no kernel, no error)."""
     assert fused_step_available(True, 1, 1, 1, "relu", 0.0, "identity",
                                 None)              # shared network: eligible (r3)
-    assert not fused_step_available(False, 2, 1, 1, "relu", 0.0, "identity",
-                                    None)          # d_x > 1
-    assert not fused_step_available(False, 1, 1, 2, "relu", 0.0, "identity",
-                                    None)          # deeper MLPs
+    assert fused_step_available(False, 2, 1, 1, "relu", 0.0, "identity",
+                                None)              # d_x > 1: eligible (r5)
+    assert fused_step_available(False, 1, 1, 2, "relu", 0.0, "identity",
+                                None)              # deeper MLPs: eligible (r5)
     assert not fused_step_available(False, 1, 1, 1, "relu", 0.5, "identity",
                                     None)          # dropout
     assert not fused_step_available(False, 1, 1, 1, "relu", 0.0, "identity",
@@ -284,23 +284,115 @@ def test_eligibility_gating():
     assert not fused_step_available(False, 1, 1, 1, "relu", 0.0, "identity",
                                     None, "rk4")   # higher-order solver
 
-    # shared mode caps K at the spare V rows
-    from njode_tpu.ops.fused_step import MAX_SHARED_K
+    # shared-mode K is bounded by the OUTPUT-lane packing (the dynamic V
+    # layout grows with K since r5): K=7 at N=5 packs (63 lanes), a K that
+    # overflows the 128 output lanes does not
+    m7 = NeuralJumpODE(use_pallas="step-interpret", input_dim=1,
+                       hidden_dim=8, output_dim=1,
+                       num_moments=7, shared_network=True)
+    assert m7._use_fused_step(5)
     m_many = NeuralJumpODE(use_pallas="step-interpret", input_dim=1,
                            hidden_dim=8, output_dim=1,
-                           num_moments=MAX_SHARED_K + 1, shared_network=True)
-    assert not m_many._use_fused_step(5)
+                           num_moments=15, shared_network=True)
+    assert not m_many._use_fused_step(5)           # 15*9 = 135 > 128 lanes
 
-    m = NeuralJumpODE(use_pallas="step-interpret", input_dim=1, hidden_dim=8,
-                      output_dim=1, num_moments=2, n_hidden_layers=2)
-    assert not m._use_fused_step(5)
-    params = m.init(jax.random.PRNGKey(0))
-    times, values = _batch(3, 4)
-    p, pb = m.apply(params, times, values)   # falls back, still correct
-    ref = NeuralJumpODE(input_dim=1, hidden_dim=8, output_dim=1,
-                        num_moments=2, n_hidden_layers=2)
-    p_ref, pb_ref = ref.apply(params, times, values)
-    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+    # wide input dims overflow the INPUT-lane packing at large N
+    m_wide = NeuralJumpODE(use_pallas="step-interpret", input_dim=30,
+                           hidden_dim=8, output_dim=1, num_moments=2)
+    assert not m_wide._use_fused_step(5)           # 5*31 = 155 > 128 lanes
+    assert m_wide._use_fused_step(4)               # 4*31 = 124 fits
+
+
+def test_layout_legacy_compat():
+    """StepLayout(d_x=1, d_y=1, L=1) reproduces the legacy row/plane
+    constants exactly — ops/train_kernel.py and packed train-state
+    checkpoints build on them."""
+    from njode_tpu.ops import fused_step as fs
+
+    lo = fs.StepLayout(1, 1, 1, 2, False)
+    assert lo.row_j1 == fs.ROW_J1
+    assert lo.row_bj == [fs.ROW_BJ1, fs.ROW_BJ2]
+    assert lo.row_w1x == fs.ROW_W1X
+    assert lo.row_w1t == fs.ROW_W1T
+    assert lo.row_w1d == fs.ROW_W1D
+    assert lo.row_ode_b == [fs.ROW_B1, fs.ROW_B2]
+    assert lo.row_bo == [fs.ROW_BO1]
+    assert lo.row_o2 == fs.ROW_O2
+    assert lo.n_vec == fs.N_VEC
+    assert lo.mat_jump == [fs.MAT_J2]
+    assert lo.mat_out == [fs.MAT_O1]
+    assert lo.mat_w1h == fs.MAT_W1H
+    assert lo.mat_ode_last == fs.MAT_W2
+    assert lo.n_mats == 4
+
+
+# (input_dim, output_dim, n_hidden_layers, shared) beyond the legacy gate
+WIDE_CFGS = [(2, 2, 1, False), (1, 1, 2, False), (2, 2, 2, False),
+             (3, 1, 1, False), (2, 2, 2, True), (1, 1, 3, True)]
+
+
+@pytest.mark.parametrize("d_x,d_y,L,shared", WIDE_CFGS)
+def test_wide_forward_parity(d_x, d_y, L, shared):
+    """d_x > 1 / d_y > 1 / deeper MLPs (r5): forward matches XLA."""
+    xla, fused, params = _models(input_dim=d_x, output_dim=d_y,
+                                 n_hidden_layers=L, shared_network=shared)
+    times, values = _batch(7, 5, seed=2, d_x=d_x)
+    p_ref, pb_ref = xla.apply(params, times, values)
+    p_f, pb_f = fused.apply(params, times, values)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pb_f), np.asarray(pb_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("d_x,d_y,L,shared",
+                         [(2, 2, 1, False), (1, 1, 2, False),
+                          (2, 2, 2, True)])
+def test_wide_gradient_parity(d_x, d_y, L, shared):
+    """Parameter gradients for the widened configs match the XLA path."""
+    xla, fused, params = _models(input_dim=d_x, output_dim=d_y,
+                                 n_hidden_layers=L, shared_network=shared,
+                                 activation="tanh", input_scaling="tanh")
+    times, values = _batch(6, 4, seed=5, d_x=d_x)
+    mask = jnp.ones(times.shape, bool).at[-1, -2:].set(False)
+
+    def loss(model):
+        def f(p):
+            preds, before = model.apply(p, times, values, mask)
+            return nj_ode_loss_dense(values, preds, before, mask,
+                                     ignore_first_continuity=True,
+                                     moment_weights=[1.0, 10.0])
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(xla))(params)
+    l_f, g_f = jax.value_and_grad(loss(fused))(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(ka)}")
+
+
+@pytest.mark.parametrize("d_x,d_y,L,shared", WIDE_CFGS)
+def test_wide_pack_unpack_roundtrip(d_x, d_y, L, shared):
+    from njode_tpu.ops.fused_step import pack_params, unpack_params
+
+    m = NeuralJumpODE(input_dim=d_x, hidden_dim=24, output_dim=d_y,
+                      num_moments=2, n_hidden_layers=L,
+                      shared_network=shared)
+    params = m.init(jax.random.PRNGKey(2))
+    kw = dict(num_moments=2, hidden_dim=24, shared_network=shared,
+              input_dim=d_x, output_dim=d_y, n_hidden_layers=L)
+    W, V, bo2 = pack_params(params, **kw)
+    back = unpack_params(W, V, bo2, **kw)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert a.shape == b.shape, (jax.tree_util.keystr(ka), a.shape, b.shape)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(ka))
 
 
 def test_dropout_training_falls_back():

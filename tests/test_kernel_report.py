@@ -23,15 +23,26 @@ def test_report_names_all_five_kernels():
 
 
 def test_report_states_first_failing_reason():
-    # d_x = 2 + two hidden layers: the verdict's silent-degradation example
+    # d_x = 2 + two hidden layers IS step-eligible since r5 (the widened
+    # kernel); under 'auto' at hidden 64 the first failing reason is the
+    # measured hidden-dim boundary, not the config
     m = NeuralJumpODE(2, 64, 2, num_moments=2, n_hidden_layers=2,
                       use_pallas="auto")
     line = kernel_report(m, n_rows=256, n_slots=10, train_kernel="model cfg")
     assert "walk=off" in line and "step=off" in line, line
     # the walk's first failure here is the missing dt_ode_step
     assert "no --dt-ode-step" in line, line
-    # the step kernel's is the input/output dim
-    assert "dim (2/2)" in line, line
+    # the step kernel's is the auto engagement boundary
+    assert "hidden_dim 64 <" in line, line
+    # a config the widened kernel still can't take: dropout
+    m_drop = NeuralJumpODE(2, 64, 2, num_moments=2, n_hidden_layers=2,
+                           dropout_rate=0.5, use_pallas="auto")
+    line = kernel_report(m_drop, n_rows=256, n_slots=10, train_kernel="x")
+    assert "step=off (dropout unsupported)" in line, line
+    # and one that overflows the widened lane packing: N*(d_x+1) > 128
+    m_lanes = NeuralJumpODE(30, 256, 1, num_moments=2, use_pallas="step")
+    line = kernel_report(m_lanes, n_rows=8192, n_slots=10, train_kernel="x")
+    assert "input lanes > 128" in line, line
 
 
 def test_report_row_ceiling_reason():
