@@ -50,8 +50,12 @@ def main():
                     help="simulation grid resolution")
     ap.add_argument("--process", type=str, default="black_scholes",
                     choices=["black_scholes", "ornstein_uhlenbeck",
-                             "heston", "hybrid_ou_bs"],
+                             "heston", "hybrid_ou_bs", "black_scholes_nd",
+                             "ornstein_uhlenbeck_nd"],
                     help="process family to benchmark")
+    ap.add_argument("--dims", type=int, default=2,
+                    help="coordinate count for the _nd process families "
+                         "(model input_dim = output_dim = dims)")
     ap.add_argument("--dt-ode-step", type=float, default=None,
                     help="fixed Euler substep (production scripts use 0.01)")
     ap.add_argument("--shared-network", action="store_true")
@@ -170,8 +174,12 @@ def main():
                        x0=1.0, v0=0.04),
         "hybrid_ou_bs": dict(theta_ou=1.0, mu_ou=0.5, sigma_ou=0.3,
                              mu_bs=0.1, sigma_bs=0.2, x0=1.0),
+        "black_scholes_nd": dict(mu=0.1, sigma=0.5, dims=args.dims),
+        "ornstein_uhlenbeck_nd": dict(theta=1.0, mu=0.5, sigma=0.3,
+                                      dims=args.dims),
     }
     P = dict(T=1.0, n_steps=args.n_steps, **PROCESS_PARAMS[args.process])
+    d_xy = P.get("dims", 1)   # model input_dim = output_dim per coordinate
     WEIGHTS = [1.0, 10.0]
     # kernel policy for the model: explicit force flags win; otherwise
     # 'auto' (measured-win regimes only: the fused walk kernel for aligned
@@ -187,8 +195,8 @@ def main():
          "compute_dtype": args.compute_dtype,
          "data": {"T": P["T"], "n_steps": args.n_steps}},
         platform=platform, single_device=True, use_pallas_cfg=use_pallas)
-    model = NeuralJumpODE(input_dim=1, hidden_dim=args.hidden_dim,
-                          output_dim=1, num_moments=2, n_hidden_layers=1,
+    model = NeuralJumpODE(input_dim=d_xy, hidden_dim=args.hidden_dim,
+                          output_dim=d_xy, num_moments=2, n_hidden_layers=1,
                           activation="relu", variance_method="direct",
                           t_max=P["T"], dt_ode_step=args.dt_ode_step,
                           shared_network=args.shared_network,
@@ -258,12 +266,12 @@ def main():
     if kernel_twin == "walk":
         # grid_walk carries the alignment promise the kernel integrates on
         kernel_cfg_ok = (walk_train_available(
-            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+            args.shared_network, d_xy, d_xy, 1, "relu", 0.0, "identity",
             args.dt_ode_step, args.ode_solver)
             and args.compute_dtype == "float32" and grid_walk)
     else:
         kernel_cfg_ok = (train_kernel_available(
-            args.shared_network, 1, 1, 1, "relu", 0.0, "identity",
+            args.shared_network, d_xy, d_xy, 1, "relu", 0.0, "identity",
             args.dt_ode_step, args.ode_solver)
             and args.compute_dtype == "float32"
             and args.hidden_dim <= LANES and batch_size_ok(bs))
@@ -454,7 +462,7 @@ def main():
     # convention), Adam/datagen/loss excluded.  Peak = 197 TF (v5e bf16) —
     # the same denominator every BENCH_NOTES MFU row uses, so f32 arms read
     # as a fraction of the hardware's canonical peak, not of an f32 roof.
-    H, K, d_x = args.hidden_dim, 2, 1
+    H, K, d_x = args.hidden_dim, 2, d_xy
     N_s = int(simulate_batch(jax.random.PRNGKey(0), 1, args.process,
                              args.obs_fraction, obs_only=obs_only,
                              **P).times.shape[1])
@@ -462,7 +470,7 @@ def main():
     substeps = (int(round(P["T"] / args.dt_ode_step)) if args.dt_ode_step
                 else S_gaps)
     nets = 1 if args.shared_network else K
-    out_cols = K if args.shared_network else 1
+    out_cols = K * d_xy if args.shared_network else d_xy
     fwd = nets * 2 * (
         N_s * (d_x * H + H * H)                    # jump MLP per slot
         + (2 * N_s - 1) * (H * H + H * out_cols)   # readout per prediction

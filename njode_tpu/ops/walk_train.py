@@ -15,7 +15,10 @@ minibatch steps of the whole run, with
   routing that XLA lowered as a scatter + dense DMA streams becomes
   per-cell VPU selects against a VMEM-resident slot table,
 * the walk backward reading per-cell post-reset states from a VMEM
-  residual buffer (no recompute passes, no HBM stream traffic at all),
+  residual buffer (no HBM stream traffic at all; when the whole-run ring
+  exceeds the VMEM budget — fine-dt recipes like ``--dt-ode-step 0.001``
+  — the forward checkpoints the carry every ~sqrt(M) cells and the
+  backward recomputes each chunk's residuals from its checkpoint, r5),
 * the NJ-ODE loss gradient in closed form (the exact
   ``_loss_and_cotangents`` the whole-run kernel uses, called per row-pair
   half with a shared valid count),
@@ -76,15 +79,45 @@ N_VEC = 16
 (MAT_J2, MAT_O1, MAT_W1, MAT_W2) = range(4)
 
 # VMEM budget for the big per-row scratch: the per-cell residual buffer
-# (M, RT, LANES) f32 — the walk backward reads post-reset states from it
-# instead of recomputing or streaming — PLUS the two (N, RT, LANES) slot
-# tables (sHM/sCT) and the two (RT, LANES) carries.  Near the 63-slot cap
-# the slot tables rival the residual buffer, so the budget counts them
-# all: (M + 2*n_slots + 2) * RT <= _VMEM_ROWS_MAX keeps 'auto' quiet for
-# configs that would pass a residual-only check and then die at Mosaic
+# ((ring rows), RT, LANES) f32 — the walk backward reads post-reset states
+# from it instead of streaming — PLUS the two (N, RT, LANES) slot tables
+# (sHM/sCT) and the two (RT, LANES) carries.  Near the 63-slot cap the
+# slot tables rival the residual buffer, so the budget counts them all:
+# (ring + ckpt + 2*n_slots + 2) * RT <= _VMEM_ROWS_MAX keeps 'auto' quiet
+# for configs that would pass a residual-only check and then die at Mosaic
 # compile on VMEM (ADVICE r4).  14336 rows = 7 MiB of f32 lanes; params +
 # Adam planes add a fixed ~2 MiB beside it.
+#
+# When the whole (M, RT) residual buffer does not fit, the kernel falls
+# back to CHECKPOINT-RECOMPUTE (r5): the forward stores the carry every
+# ``ck`` cells (ceil(M/ck) checkpoints) and keeps only a ``ck``-cell
+# residual ring; the backward recomputes each chunk's residuals forward
+# from its checkpoint before walking it in reverse.  VMEM rows become
+# ck + ceil(M/ck) (minimized near ck = sqrt(M)), at the cost of one extra
+# forward walk (+2 matmuls/cell — ~+25% of the walk's MXU floor), so any
+# ``--dt-ode-step`` stays eligible (the reference accepts any dt:
+# /root/reference/neural_jump_ode/models/jump_ode.py:196-202).
 _VMEM_ROWS_MAX = 14336
+
+
+def _ring_plan(rt: int, n_slots: int, max_substeps: int):
+    """(ring_cells, n_ckpt) residual plan fitting the VMEM row budget, or
+    None.  ring_cells == M means the direct (no-recompute) layout."""
+    M = int(max_substeps)
+    fixed = 2 * n_slots + 2
+    if (M + fixed) * rt <= _VMEM_ROWS_MAX:
+        return M, 0
+    # chunked: minimize ck + ceil(M/ck) over a small scan around sqrt(M)
+    best = None
+    lo = max(1, int(M ** 0.5) - 2)
+    for ck in range(lo, min(M, lo + 64)):
+        rows = ck + -(-M // ck)
+        if best is None or rows < best[0]:
+            best = (rows, ck)
+    rows, ck = best
+    if (rows + fixed) * rt > _VMEM_ROWS_MAX:
+        return None
+    return ck, -(-M // ck)
 
 
 def walk_train_available(shared_network, input_dim, output_dim,
@@ -111,7 +144,7 @@ def walk_train_shapes_ok(hidden_dim: int, batch_size, n_slots: int,
         return False
     rt = batch_size // nh
     return (2 * n_slots + 1 <= LANES
-            and (max_substeps + 2 * n_slots + 2) * rt <= _VMEM_ROWS_MAX)
+            and _ring_plan(rt, n_slots, max_substeps) is not None)
 
 
 # --------------------------------------------------------------------------
@@ -123,9 +156,9 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                        loss_ref, wout_ref, vout_ref, mwout_ref, vwout_ref,
                        mvout_ref, vvout_ref, statout_ref,
                        sW, sV, smW, svW, smV, svV, sdV, sstat,
-                       c_s, ga_s, dw1_s, dw2_s, cpost, sHM, sCT,
-                       *, N: int, K: int, M: int, dt: float, d_h: int,
-                       nh: int, act: str, scale: str,
+                       c_s, ga_s, dw1_s, dw2_s, cpost, ckpt, sHM, sCT,
+                       *, N: int, K: int, M: int, ck: int, dt: float,
+                       d_h: int, nh: int, act: str, scale: str,
                        lr: float, wd: float, b1: float, b2: float,
                        eps_adam: float, eps_loss: float,
                        w0m: float, w1m: float, variance_method: str,
@@ -262,26 +295,39 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                                             jnp.where(lane_one, 1.0, 0.0))))
         TAB.append(blk)
 
-    # ---- forward walk (carry resident; residuals to the cpost buffer) ----
+    # ---- forward walk (carry resident; residuals to the cpost RING —
+    # ck == M is the direct layout; ck < M is checkpoint-recompute: the
+    # pre-cell carry is checkpointed every ck cells and the backward
+    # refills the ring per chunk) ----
     sHM[:] = jnp.zeros_like(sHM)
     c_s[:] = jnp.where(lane_one, 1.0, 0.0)
     t_add = jnp.where(lane_t, dt, 0.0)
+    chunked = ck < M
+    n_ck = -(-M // ck)
 
-    def fbody(g, _):
+    def walk_cell(g, slot, capture_hm: bool):
+        """One forward walk cell: reset-select, residual store, Euler."""
         gf = g.astype(f32)
         c = c_s[:]
         cp = c
         for s in range(N):
             sel = Gs[s] == gf
-            if s >= 1:
+            if capture_hm and s >= 1:
                 sHM[s] = jnp.where(sel, c, sHM[s])
             cp = jnp.where(sel, TAB[s], cp)
-        cpost[g] = cp
+        cpost[slot] = cp
         inp = jnp.where(is_h, SC(cp), cp)
         pre = mm(inp, W1eff)
         hid = jnp.where(lane_one, 1.0, A(pre))
         dh_ = mm(hid, W2eff)
         c_s[:] = cp + dt * dh_ + t_add
+
+    def fbody(g, _):
+        if chunked:
+            @pl.when(lax.rem(g, ck) == 0)
+            def _():
+                ckpt[g // ck] = c_s[:]
+        walk_cell(g, lax.rem(g, ck), True)
         return 0
 
     lax.fori_loop(0, M, fbody, 0)
@@ -387,10 +433,10 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
         ga0 = jnp.where((Gs[s] == Mf) & is_h, DHM[s - 1], ga0)
     ga_s[:] = ga0
 
-    def bbody(i, _):
-        g = M - 1 - i
+    def back_cell(g, slot):
+        """One backward walk cell, residual from ring slot ``slot``."""
         gf = g.astype(f32)
-        cp = cpost[g]
+        cp = cpost[slot]
         inp = jnp.where(is_h, SC(cp), cp)
         pre = mm(inp, W1eff)
         hid = jnp.where(lane_one, 1.0, A(pre))
@@ -409,9 +455,43 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
             inj = DHM[s - 1] if s >= 1 else 0.0
             nxt = jnp.where(sel & is_h, inj, jnp.where(sel, 0.0, nxt))
         ga_s[:] = nxt
-        return 0
 
-    lax.fori_loop(0, M, bbody, 0)
+    if not chunked:
+        def bbody(i, _):
+            g = M - 1 - i
+            back_cell(g, g)
+            return 0
+
+        lax.fori_loop(0, M, bbody, 0)
+    else:
+        # checkpoint-recompute: per chunk (reversed), refill the ring by
+        # walking forward from the chunk's checkpoint, then walk backward
+        def chunk_body(ci, _):
+            c = n_ck - 1 - ci
+            g0 = c * ck
+            c_s[:] = ckpt[c]
+
+            def refill(j, _):
+                @pl.when(g0 + j < M)
+                def _():
+                    # sHM is complete from the original forward; a second
+                    # capture would be idempotent but wasted VPU work
+                    walk_cell(g0 + j, j, False)
+                return 0
+
+            lax.fori_loop(0, ck, refill, 0)
+
+            def bstep(j, _):
+                slot = ck - 1 - j
+                @pl.when(g0 + slot < M)
+                def _():
+                    back_cell(g0 + slot, slot)
+                return 0
+
+            lax.fori_loop(0, ck, bstep, 0)
+            return 0
+
+        lax.fori_loop(0, n_ck, chunk_body, 0)
 
     # route the effective-walk-weight cotangents to raw param granularity
     dW1k = jnp.where(kron, dw1_s[:], 0.0)
@@ -612,11 +692,14 @@ def optax_state_into_walk(state, n_steps: int, opt_state, *,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
-def _make_walk_core(N: int, K: int, M: int, RT: int, nh: int, d_h: int,
+def _make_walk_core(N: int, K: int, M: int, ck: int, RT: int, nh: int,
+                    d_h: int,
                     dt: float, act: str, scale: str, lr: float, wd: float,
                     b1: float, b2: float, eps_adam: float, eps_loss: float,
                     w0m: float, w1m: float, variance_method: str,
                     interpret: bool, mxu: str):
+    n_ck = -(-M // ck) if ck < M else 1   # ckpt buffer rows (1 = unused)
+
     def call(data, W, V, mW, vW, mV, vV, stat):
         G = data.shape[0] // RT
         row = pl.BlockSpec((RT, nh * LANES), lambda r: (r, 0),
@@ -629,7 +712,8 @@ def _make_walk_core(N: int, K: int, M: int, RT: int, nh: int, d_h: int,
         VS = (N_VEC, LANES)
         return pl.pallas_call(
             functools.partial(
-                _walk_train_kernel, N=N, K=K, M=M, dt=dt, d_h=d_h, nh=nh,
+                _walk_train_kernel, N=N, K=K, M=M, ck=ck, dt=dt, d_h=d_h,
+                nh=nh,
                 act=act, scale=scale, lr=lr, wd=wd, b1=b1, b2=b2,
                 eps_adam=eps_adam, eps_loss=eps_loss, w0m=w0m, w1m=w1m,
                 variance_method=variance_method, mxu=mxu),
@@ -658,7 +742,8 @@ def _make_walk_core(N: int, K: int, M: int, RT: int, nh: int, d_h: int,
                             pltpu.VMEM((RT, LANES), jnp.float32),   # ga_s
                             pltpu.VMEM((LANES, LANES), jnp.float32),
                             pltpu.VMEM((LANES, LANES), jnp.float32),
-                            pltpu.VMEM((M, RT, LANES), jnp.float32),
+                            pltpu.VMEM((ck, RT, LANES), jnp.float32),
+                            pltpu.VMEM((n_ck, RT, LANES), jnp.float32),
                             pltpu.VMEM((N, RT, LANES), jnp.float32),
                             pltpu.VMEM((N, RT, LANES), jnp.float32)],
             interpret=interpret,
@@ -676,13 +761,18 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
                          variance_method: str = "direct",
                          betas=(0.9, 0.999), adam_eps: float = 1e-8,
                          interpret: bool = False,
-                         mxu_dtype: str = "float32"):
+                         mxu_dtype: str = "float32",
+                         ring_cells=None):
     """Run ``data.shape[0] // batch_size`` fused walk-train Adam steps.
 
     ``data``: (G*batch_size, LANES) rows from
     ``train_kernel.pack_minibatches`` — observation times must all sit on
     the ``{g * dt_ode_step}`` grid (the caller's grid_walk promise) with
     a full observation mask.  Returns ``(new_state, losses (G,))``.
+
+    ``ring_cells``: residual-ring size override (tests); default = the
+    VMEM plan (whole-run ring when it fits, checkpoint-recompute chunks
+    otherwise).
     """
     if mxu_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"walk-train kernel: unknown mxu_dtype {mxu_dtype!r}")
@@ -694,8 +784,10 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
             f"walk-train kernel: shapes not eligible (hidden_dim "
             f"{hidden_dim} needs hidden+3 <= {LANES}/n_halves; batch_size "
             f"{batch_size} must be a multiple of {8 * n_halves(hidden_dim)} "
-            f"and <= 256; 2*n_slots+1 <= {LANES}; (max_substeps + "
-            f"2*n_slots + 2) * packed rows <= {_VMEM_ROWS_MAX})")
+            f"and <= 256; 2*n_slots+1 <= {LANES}; residual ring + "
+            f"checkpoints + slot tables must fit {_VMEM_ROWS_MAX} VMEM "
+            f"rows — even chunked, ~2*sqrt(max_substeps)+2*n_slots+2 "
+            f"per packed row)")
     if data.shape[0] % batch_size:
         raise ValueError("walk-train kernel: data rows must be a whole "
                          "number of minibatches")
@@ -704,9 +796,12 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
     if nh > 1:
         # row-pair packing: consecutive rows share a 128-lane vector row
         data = data.reshape(data.shape[0] // nh, nh * LANES)
+    ck = (int(ring_cells) if ring_cells is not None
+          else _ring_plan(RT, n_slots, max_substeps)[0])
+    ck = max(1, min(ck, int(max_substeps)))
     w1m = float(moment_weights[1]) if len(moment_weights) > 1 else 1.0
     core = _make_walk_core(
-        n_slots, num_moments, int(max_substeps), RT, nh, hidden_dim,
+        n_slots, num_moments, int(max_substeps), ck, RT, nh, hidden_dim,
         float(dt_ode_step), activation, input_scaling, float(lr),
         float(weight_decay), float(betas[0]), float(betas[1]),
         float(adam_eps), float(eps), float(moment_weights[0]), w1m,

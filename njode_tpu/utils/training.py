@@ -476,9 +476,10 @@ class Trainer:
             nh = n_halves(m.hidden_dim)
             problems.append(
                 f"shapes (needs hidden_dim + 3 <= {LANES // nh}, batch_size "
-                f"a multiple of {8 * nh} and <= 256 with (grid cells + "
-                f"2*n_slots + 2) x batch/{nh} <= {_VMEM_ROWS_MAX} VMEM "
-                f"scratch rows, 2*n_slots + 1 <= {LANES}; got hidden "
+                f"a multiple of {8 * nh} and <= 256 with the residual ring "
+                f"(chunked: ~2*sqrt(cells) + 2*n_slots + 2) x batch/{nh} "
+                f"<= {_VMEM_ROWS_MAX} VMEM scratch rows, 2*n_slots + 1 <= "
+                f"{LANES}; got hidden "
                 f"{m.hidden_dim}, batch {batch_size}, {M} cells, "
                 f"n_slots {n_slots})")
         problems += self._kernel_opts_problems()

@@ -97,6 +97,35 @@ def _assert_trees_close(p_ref, p_k, rtol=2e-4, atol=1e-5):
             err_msg=f"param drift at {jax.tree_util.keystr(ka)}")
 
 
+def test_chunked_ring_matches_direct_and_optax():
+    """Checkpoint-recompute residual mode (r5): with the ring forced below
+    M the kernel recomputes chunk residuals from checkpoints — the result
+    must equal BOTH the direct-ring kernel (exactly: same arithmetic per
+    cell, identical op order within a cell) and the optax loop (to the
+    usual kernel tolerance), including a partial final chunk (ck=6, M=20
+    -> chunks of 6/6/6/2)."""
+    model = _model()
+    params = model.init(jax.random.PRNGKey(3))
+    G = 3
+    times, values = _data(G * BS, seed=4)
+    valid = jnp.ones((G * BS,), bool)
+
+    p_direct, l_direct = _run_kernel(params, times, values, valid, G,
+                                     1e-3, 5e-4)
+    p_chunk, l_chunk = _run_kernel(params, times, values, valid, G,
+                                   1e-3, 5e-4, ring_cells=6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_direct),
+                    jax.tree_util.tree_leaves(p_chunk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(l_direct), np.asarray(l_chunk))
+
+    p_ref, l_ref = _reference_loop(model, params, times, values, valid, G,
+                                   1e-3, 5e-4)
+    _assert_trees_close(p_ref, p_chunk)
+    np.testing.assert_allclose(np.asarray(l_chunk), np.asarray(l_ref),
+                               rtol=2e-4)
+
+
 def test_pack_roundtrip():
     for hidden, K in ((H, 2), (H, 1), (70, 2)):
         model = _model(hidden=hidden, K=K)
@@ -250,7 +279,13 @@ def test_availability_and_shapes():
     assert not walk_train_available(True, 1, 1, 2, "relu", 0.0,
                                     "identity", 0.01)    # layers
     assert walk_train_shapes_ok(50, 128, 10, 100)        # the production row
-    assert not walk_train_shapes_ok(50, 128, 10, 400)    # resid buffer
+    # beyond the direct residual ring the kernel checkpoints + recomputes
+    # (r5): fine-dt recipes stay eligible...
+    assert walk_train_shapes_ok(50, 128, 10, 400)
+    assert walk_train_shapes_ok(50, 128, 10, 1000)       # --dt-ode-step 0.001
+    assert walk_train_shapes_ok(50, 256, 10, 100)        # batch 256 (chunked)
+    # ...but even the chunked ring (~2 sqrt(M) rows) has a VMEM ceiling
+    assert not walk_train_shapes_ok(50, 256, 10, 100_000)
     assert not walk_train_shapes_ok(50, 120, 10, 100)    # rows % 16
     assert not walk_train_shapes_ok(126, 128, 10, 100)   # hidden + 3 > 128
     assert not walk_train_shapes_ok(50, 128, 70, 100)    # slots > lanes
@@ -361,12 +396,19 @@ def test_auto_walk_train_resolution(monkeypatch):
     tr2, loader2 = mk(model=m2)
     assert tr2._auto_walk_train_ok(BS, True, loader2) is False
 
-    # residual buffer overflow (dt 0.0025 -> 400 cells) -> quiet False
+    # fine-dt grids ride the checkpoint-recompute ring since r5: dt 0.0025
+    # (400 cells) is eligible where the r4 direct ring overflowed...
     m3 = NeuralJumpODE(input_dim=1, hidden_dim=50, output_dim=1,
                        num_moments=2, shared_network=True,
                        dt_ode_step=0.0025, t_max=1.0, grid_walk=True)
     tr3, loader3 = mk(model=m3)
-    assert tr3._auto_walk_train_ok(256, True, loader3) is False
+    assert tr3._auto_walk_train_ok(256, True, loader3) is True
+    # ...but even the chunked ring has a VMEM ceiling -> quiet False
+    m4 = NeuralJumpODE(input_dim=1, hidden_dim=50, output_dim=1,
+                       num_moments=2, shared_network=True,
+                       dt_ode_step=1e-5, t_max=1.0, grid_walk=True)
+    tr4, loader4 = mk(model=m4)
+    assert tr4._auto_walk_train_ok(256, True, loader4) is False
 
 
 def test_trainer_walk_kernel_mxu_bfloat16():
