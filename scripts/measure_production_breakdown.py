@@ -64,6 +64,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
@@ -137,6 +138,23 @@ def main():
                     return jnp.sum(data)
 
                 return jnp.sum(jax.vmap(one)(jnp.arange(E)))
+            if stage == "kernel_const":
+                # the kernel at the bench's exact grid count but with ONE
+                # epoch's rows tiled E times: no fresh-datagen dependence.
+                # full - kernel_const = what interleaving fresh data costs.
+                ts, vs = epoch_data(key, 0, n)
+                pad = jnp.zeros((n_pad - n, ts.shape[1]), ts.dtype)
+                vpad = jnp.zeros((n_pad - n,) + vs.shape[1:], vs.dtype)
+                data1 = pack_minibatches(jnp.concatenate([ts, pad]),
+                                         jnp.concatenate([vs, vpad]),
+                                         jnp.arange(n_pad) < n, bs)
+                data = jnp.tile(data1, (E, 1))
+                st = init_walk_state(params0, num_moments=2, hidden_dim=H)
+                st, losses = fused_walk_train_run(
+                    st, data, n_slots=N_slots, num_moments=2, batch_size=bs,
+                    hidden_dim=H, dt_ode_step=dt, max_substeps=M_cells,
+                    lr=1e-3, weight_decay=5e-4, moment_weights=(1.0, 10.0))
+                return jnp.sum(losses)
             if stage == "full":
                 def one(e):
                     ts, vs = epoch_data(key, e, n)
@@ -160,7 +178,8 @@ def main():
                 return jnp.sum(losses) + sum(
                     jnp.sum(x) for x in jax.tree_util.tree_leaves(p))
 
-            # ---- validation stages: E independent val passes ----
+            # ---- validation stages: E independent val passes (scanned —
+            # vmap of the walk kernel's ANY-space streams doesn't lower) ----
             nv = args.n_val
             vmodel = mk_model(True if stage == "val_walk" else "auto")
             if stage == "val_chunked":
@@ -194,7 +213,10 @@ def main():
                         + jnp.sum(before * mask[sl, :, None, None])
                 return tot
 
-            return jnp.sum(jax.vmap(one)(jnp.arange(E)))
+            def scan_body(acc, e):
+                return acc + one(e), None
+
+            return lax.scan(scan_body, 0.0, jnp.arange(E))[0]
 
         return jax.jit(run)
 
