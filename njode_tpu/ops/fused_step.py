@@ -107,13 +107,14 @@ ROW_TILE_BWD = int(_os.environ.get("NJODE_FUSED_STEP_RT_BWD", 256))
 MAX_SHARED_K = LANES // 3
 
 # use_pallas='auto' engagement boundary (marginal train-step A/B vs XLA,
-# scripts/measure_scaled_step.py, BENCH_NOTES.md r3d + the r4c boundary
-# sweep): the kernel wins 1.37x at hidden 256 and 1.05x at 224 (B=4096,
-# N=2, f32); hidden 192 straddles 1.0 across measurement rounds (1.07x
-# r3d, 0.95x r4c — box noise), hidden <= 160 loses (0.66-0.92x), and
-# B=2048 is erratic (0.43-1.29x) — auto engages only where the win is
-# reproducible: hidden >= 224 with >= 4096 folded rows.
-AUTO_MIN_HIDDEN = 224
+# scripts/measure_scaled_step.py, BENCH_NOTES.md r3d/r4c/r5f): the kernel
+# wins 1.37x at hidden 256 and 1.05x at 224 (B=4096, N=2, f32); hidden
+# 192 straddled 1.0 across two 3-rep rounds (1.07x r3d, 0.95x r4c) and a
+# dedicated min-of-5 quiet-box pin resolved it as a 1.21x WIN (r5f:
+# 0.313 -> 0.258 ms), so the boundary returns to 192; hidden <= 160
+# loses (0.66-0.92x), and B=2048 is erratic (0.43-1.29x) — auto engages
+# only at hidden >= 192 with >= 4096 folded rows.
+AUTO_MIN_HIDDEN = 192
 AUTO_MIN_ROWS = 4096
 
 # Packed-STATE training (optimizing the padded (W, V, bo2) tensors
