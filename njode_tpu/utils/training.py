@@ -51,6 +51,18 @@ RELATIVE_LOSS_PROCESSES = ("black_scholes", "ornstein_uhlenbeck", "heston",
                            "hybrid_ou_bs")
 
 
+def _flat_ravel_friendly(tree) -> bool:
+    """True when every leaf ravels cheaply on TPU: 0/1-D, or trailing dim
+    1 or >= 8.  A multi-dim leaf with 1 < shape[-1] < 8 (e.g. the d_y=2
+    model's (K, d_y) bias or (K, H, d_y) readout weight) makes XLA compile
+    the raveled-Adam scan body into a ~0.8 ms/step program (measured,
+    BENCH_NOTES.md r5h) while the per-leaf chain stays free — the flat
+    update delegates to the chain for such trees."""
+    return all(
+        leaf.ndim < 2 or leaf.shape[-1] == 1 or leaf.shape[-1] >= 8
+        for leaf in jax.tree_util.tree_leaves(tree))
+
+
 def make_adam(learning_rate: float, weight_decay: float = 0.0,
               flat: bool = True) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) equivalent (L2-into-grad, then Adam).
@@ -65,6 +77,13 @@ def make_adam(learning_rate: float, weight_decay: float = 0.0,
     so checkpoints and the whole-run kernel's state conversion interop
     either way.  Set ``flat=False`` when params are sharded over a model
     axis: raveling would all-gather them every step.
+
+    The flat path auto-delegates to the per-leaf chain (identical state,
+    identical updates) when any leaf has a non-trivial trailing dim < 8:
+    raveling such leaves inside a jitted train loop costs a measured
+    0.81-0.83 ms/step (vs ~0 for the chain) on TPU v5e — the d_y=2 model
+    pytree's (K, d_y) bias and (K, H, d_y) readout leaves both trigger it
+    (BENCH_NOTES.md r5h, scripts/probe_flat_adam.py).
     """
     b1, b2, eps = 0.9, 0.999, 1e-8
     parts = []
@@ -82,6 +101,8 @@ def make_adam(learning_rate: float, weight_decay: float = 0.0,
         def update(grads, state, params=None):
             if weight_decay and params is None:
                 raise ValueError("make_adam with weight_decay needs params")
+            if not _flat_ravel_friendly(grads):
+                return chain.update(grads, state, params)
             g, unravel = ravel_pytree(grads)
             adam = state[adam_i]
             mu, _ = ravel_pytree(adam.mu)

@@ -61,9 +61,12 @@ def test_flat_adam_matches_optax_chain():
     kernel's state conversion both depend on it)."""
     import optax
     rng = np.random.default_rng(7)
-    params = {"a": {"w": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+    # every leaf ravel-friendly (trailing dim 1-D / >= 8) so the flat math
+    # itself runs — trees with tiny trailing dims delegate to the chain
+    # (test_flat_adam_delegates_on_tiny_trailing_dims below)
+    params = {"a": {"w": jnp.asarray(rng.normal(size=(5, 8)), jnp.float32),
                     "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
-              "c": jnp.asarray(rng.normal(size=(2, 2, 2)), jnp.float32)}
+              "c": jnp.asarray(rng.normal(size=(2, 2, 8)), jnp.float32)}
     gs = [jax.tree_util.tree_map(
         lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params)
         for _ in range(4)]
@@ -89,6 +92,46 @@ def test_flat_adam_matches_optax_chain():
             else:
                 np.testing.assert_allclose(np.asarray(lf), np.asarray(lt),
                                            atol=1e-8, rtol=1e-6)
+
+
+def test_flat_adam_delegates_on_tiny_trailing_dims():
+    """A tree with a non-trivial trailing dim < 8 (the d_y=2 model's
+    (K, d_y) bias / (K, H, d_y) readout shapes) must route make_adam's
+    flat update through the per-leaf chain: the raveled scan body
+    compiles to a ~0.8 ms/step program for such leaves on TPU
+    (BENCH_NOTES.md r5h) while the chain stays free.  Updates and state
+    must be bit-identical to flat=False."""
+    import optax
+    from njode_tpu.utils.training import _flat_ravel_friendly
+    rng = np.random.default_rng(11)
+
+    assert _flat_ravel_friendly(
+        {"w": jnp.zeros((2, 51, 50)), "b": jnp.zeros((2, 50)),
+         "o": jnp.zeros((2, 256, 1)), "b2": jnp.zeros((2, 1))})
+    for bad in ((2, 2), (2, 256, 2), (4, 4)):
+        assert not _flat_ravel_friendly({"x": jnp.zeros(bad)})
+
+    params = {"w": jnp.asarray(rng.normal(size=(2, 256, 2)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)}
+    gs = [jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params)
+        for _ in range(3)]
+
+    def run(tx, p, gs):
+        s = tx.init(p)
+        for g in gs:
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    for wd in (0.0, 5e-4):
+        flat_tx = make_adam(1e-2, wd, flat=True)
+        tree_tx = make_adam(1e-2, wd, flat=False)
+        pf, sf = jax.jit(lambda p, g: run(flat_tx, p, g))(params, gs)
+        pt, st = jax.jit(lambda p, g: run(tree_tx, p, g))(params, gs)
+        for lf, lt in zip(jax.tree_util.tree_leaves((pf, sf)),
+                          jax.tree_util.tree_leaves((pt, st))):
+            np.testing.assert_array_equal(np.asarray(lf), np.asarray(lt))
 
 
 def test_trainer_loss_decreases(tmp_path):
