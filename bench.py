@@ -225,13 +225,14 @@ def main():
             ids, vm = x
 
             def loss_fn(pp):
-                preds, preds_before = model.apply(pp, times[ids], values[ids],
-                                                  mask[ids])
-                return nj_ode_loss_dense(values[ids], preds, preds_before,
-                                         mask[ids],
-                                         ignore_first_continuity=True,
-                                         moment_weights=WEIGHTS,
-                                         traj_mask=vm)
+                # apply_loss routes eligible configs through the lane-space
+                # fused loss (r5i: 1.18-1.46x the scaled training step) and
+                # composes apply + nj_ode_loss_dense everywhere else
+                return model.apply_loss(pp, times[ids], values[ids],
+                                        mask[ids],
+                                        ignore_first_continuity=True,
+                                        moment_weights=WEIGHTS,
+                                        traj_mask=vm)
 
             loss, g = jax.value_and_grad(loss_fn)(p)
             updates, s = tx.update(g, s, p)

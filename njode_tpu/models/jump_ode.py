@@ -836,6 +836,56 @@ class NeuralJumpODE:
                        preds.dtype), y_before_tail], axis=1)
         return preds, preds_before
 
+    def apply_loss(self, params: Params, times: jnp.ndarray,
+                   values: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                   *, rng: Optional[jax.Array] = None, training: bool = False,
+                   ignore_first_continuity: bool = False,
+                   moment_weights=None, eps: float = 1e-10,
+                   variance_method: str = "direct", traj_mask=None,
+                   extended_moments: bool = False) -> jnp.ndarray:
+        """Forward + NJ-ODE training loss in one dispatch.
+
+        Semantically ``nj_ode_loss_dense(values, *self.apply(...), mask,
+        ...)`` — but when the fused-step kernel carries the forward (same
+        ``_use_fused_step`` predicate as :meth:`apply`) and
+        ``output_dim == input_dim``, the loss is computed ENTIRELY in the
+        kernel's lane space (``ops.fused_step.fused_step_loss``): moment
+        planes are selected from the (B, LANES) kernel output with constant
+        0/1 matmuls, so the (B, N, d, K) prediction tensor — and, in the
+        backward, its cotangent — is never materialized.  Measured (r5i,
+        BENCH_NOTES.md): the lane<->tensor glue it removes is 1.18x of the
+        d=1 and 1.46x of the d=2 scaled training step.  Parity (value AND
+        parameter gradients) is pinned in
+        ``tests/test_fused_step.py::test_lane_space_loss_parity``.
+        """
+        use_rng = training and self.dropout_rate > 0.0 and rng is not None
+        B, N = times.shape
+        if (not use_rng and self.output_dim == self.input_dim
+                and self._use_fused_step(N, n_rows=B * max(N - 1, 1))):
+            from ..ops.fused_step import fused_step_loss
+            return fused_step_loss(
+                params, times, values, mask,
+                num_moments=self.num_moments, hidden_dim=self.hidden_dim,
+                activation=self._act_key, input_scaling=self._scale_key,
+                ignore_first_continuity=ignore_first_continuity,
+                moment_weights=moment_weights, eps=eps,
+                variance_method=variance_method, traj_mask=traj_mask,
+                extended_moments=extended_moments,
+                compute_dtype=self.compute_dtype,
+                interpret=(self.use_pallas == "step-interpret"),
+                shared_network=self.shared_network,
+                input_dim=self.input_dim, output_dim=self.output_dim,
+                n_hidden_layers=self.n_hidden_layers)
+        from .loss import nj_ode_loss_dense
+        preds, preds_before = self.apply(params, times, values, mask,
+                                         rng=rng, training=training)
+        return nj_ode_loss_dense(
+            values, preds, preds_before, mask,
+            ignore_first_continuity=ignore_first_continuity,
+            moment_weights=moment_weights, eps=eps,
+            variance_method=variance_method, traj_mask=traj_mask,
+            extended_moments=extended_moments)
+
     # ----------------------------------------------- reference ragged API
 
     def forward(self, params: Params, batch_times: Sequence[jnp.ndarray],

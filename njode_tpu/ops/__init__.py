@@ -9,12 +9,13 @@ from .fused_cell import (
     fused_euler_cell,
     ode_euler_fused,
 )
-from .fused_step import fused_step_apply, fused_step_available
+from .fused_step import (fused_step_apply, fused_step_available,
+                         fused_step_loss)
 from .gap_scan import gap_scan_available, integrate_gap_fused
 from .train_kernel import fused_train_run, train_kernel_available
 
 __all__ = ["HAS_PALLAS", "SUPPORTED_ACTS", "fused_cell_available",
            "fused_euler_cell", "ode_euler_fused",
-           "fused_step_apply", "fused_step_available",
+           "fused_step_apply", "fused_step_available", "fused_step_loss",
            "gap_scan_available", "integrate_gap_fused",
            "fused_train_run", "train_kernel_available"]

@@ -739,6 +739,196 @@ def fused_step_apply_packed(W, V, bo2, times, values, *, num_moments: int,
     return preds, preds_before
 
 
+@functools.lru_cache(maxsize=None)
+def _loss_lane_maps(N: int, K: int, d: int):
+    """Constant 0/1 matrices mapping output lanes -> (slot, dim) columns.
+
+    Column order matches ``values.reshape(B, N*d)``: c = s*d + dd.  One
+    (LANES, N*d) selector per moment for the after-jump lanes and one for
+    the before-jump lanes (slot-0 column intentionally empty — the model
+    defines preds_before[:, 0] = 0).  Used by the LANE-SPACE loss: selecting
+    moment planes via matmul keeps both the forward and the cotangent path
+    on 2-D (rows, lanes) arrays; slicing a (B, N, d, K) tensor instead makes
+    XLA materialize tiny-trailing-dim intermediates whose cotangent assembly
+    costs 0.163 ms/step at the scaled config (BENCH_NOTES.md r5i).
+    """
+    import numpy as np
+    C = K * (2 * N - 1)
+    S = N - 1
+    sel_a = np.zeros((K, LANES, N * d), np.float32)
+    sel_b = np.zeros((K, LANES, N * d), np.float32)
+    for k in range(K):
+        for dd in range(d):
+            for s in range(N):
+                sel_a[k, dd * C + k * N + s, s * d + dd] = 1.0
+            for s in range(1, N):
+                sel_b[k, dd * C + K * N + k * S + (s - 1), s * d + dd] = 1.0
+    # d-block reduction (B, N*d) -> (B, N) and the slot-0 bias mask
+    dsum = np.zeros((N * d, N), np.float32)
+    for s in range(N):
+        dsum[s * d:(s + 1) * d, s] = 1.0
+    slot0 = np.ones((N * d,), np.float32)
+    slot0[:d] = 0.0
+    return sel_a, sel_b, dsum, slot0
+
+
+def fused_step_loss_packed(W, V, bo2, times, values, mask=None, *,
+                           num_moments: int, activation: str,
+                           input_scaling: str,
+                           ignore_first_continuity: bool = False,
+                           moment_weights=None, eps: float = 1e-10,
+                           variance_method: str = "direct",
+                           traj_mask=None, extended_moments: bool = False,
+                           compute_dtype=None, interpret: bool = False,
+                           shared_network: bool = False, input_dim: int = 1,
+                           output_dim: int = 1, n_hidden_layers: int = 1):
+    """Fused forward + NJ-ODE loss ENTIRELY in lane space.
+
+    Semantically ``nj_ode_loss_dense(values, *fused_step_apply_packed(...),
+    mask, ...)`` (same terms, same reduction order — models/loss.py:37-138),
+    but the moment planes are selected from the kernel's (B, LANES) output
+    with constant 0/1 matmuls and every loss intermediate stays 2-D
+    (B, N*d) / (B, N).  The (B, N, d, K) prediction tensor is never
+    materialized, so neither is its cotangent: the backward feeds the
+    pallas VJP a (B, LANES) cotangent produced by the transposed selector
+    matmuls.  Measured motivation: the composed path's cotangent assembly
+    alone costs 0.163 ms of the 0.313 ms scaled training step
+    (BENCH_NOTES.md r5h/r5i decomposition).
+    """
+    K, d = num_moments, input_dim
+    if output_dim != input_dim:
+        raise ValueError("fused_step_loss_packed needs output_dim == "
+                         f"input_dim (got {output_dim} != {input_dim})")
+    if variance_method not in ("direct", "second_moment"):
+        raise ValueError(f"Unknown variance_method: {variance_method}")
+    lo = StepLayout(n_hidden_layers, d, d, K, shared_network)
+    Hp = W.shape[-1]
+    B, N = times.shape
+    if not fused_step_fits(N, K, d, d):
+        raise ValueError(f"fused step kernel: N={N}, K={K}, d_x={d} "
+                         f"exceeds the {LANES}-lane packing")
+    f32 = jnp.float32
+    times = times.astype(f32)
+    x = values.astype(f32)
+    X2 = x.reshape(B, N * d)                             # (B, N*d)
+
+    scal = jnp.zeros((B, LANES), f32)
+    scal = (scal.at[:, :N * d].set(X2)
+            .at[:, N * d:N * d + N].set(times))
+    tile_lcm = _math.lcm(ROW_TILE, ROW_TILE_BWD)
+    Bp = _round_up(max(B, tile_lcm), tile_lcm)
+    scal = _pad_rows(scal, Bp)
+
+    cdt_name = "f32"
+    if compute_dtype is not None and compute_dtype == jnp.bfloat16:
+        cdt_name = "bf16"
+    core = _make_core(N, lo.key(), Hp, activation, input_scaling, cdt_name,
+                      interpret)
+    y = core(scal, W, V)[:B]                             # (B, LANES)
+
+    sel_a, sel_b, dmat, slot0 = _loss_lane_maps(N, K, d)
+    sel_a, sel_b = jnp.asarray(sel_a), jnp.asarray(sel_b)
+    dmat, slot0 = jnp.asarray(dmat), jnp.asarray(slot0)
+    bo2_kd = bo2[:, None] if bo2.ndim == 1 else bo2      # (K, d)
+
+    def plane(k):
+        """Moment-k (after, before) planes in X2's (B, N*d) layout."""
+        bias = jnp.tile(bo2_kd[k], N)                    # (N*d,)
+        ya = y @ sel_a[k] + bias
+        yb = y @ sel_b[k] + bias * slot0                 # slot 0 stays 0
+        return ya, yb
+
+    def dsum(a2):                                        # (B, N*d) -> (B, N)
+        return a2 if d == 1 else a2 @ dmat
+
+    if mask is None:
+        mask_f = jnp.ones((B, N), f32)
+    else:
+        mask_f = mask.astype(f32)
+    n_obs = jnp.maximum(jnp.sum(mask_f, axis=1), 1.0)
+
+    if moment_weights is not None:
+        moment_weights = jnp.asarray(moment_weights, f32)
+
+    def masked_obs_mean(per_obs):
+        return jnp.sum(per_obs * mask_f, axis=1) / n_obs
+
+    def two_term(jump_sq, cont_sq):
+        if ignore_first_continuity:
+            cont_sq = cont_sq.at[:, 0].set(0.0)
+        per_obs = (jnp.sqrt(jump_sq + eps) + jnp.sqrt(cont_sq + eps)) ** 2
+        return masked_obs_mean(per_obs)
+
+    # ---- moment 0: mean (models/loss.py:79-86) ----
+    Y, Yb = plane(0)
+    mean_loss = two_term(dsum((X2 - Y) ** 2), dsum((X2 - Yb) ** 2))
+    w0 = 1.0 if moment_weights is None else moment_weights[0]
+    total = w0 * mean_loss
+
+    # ---- moment 1: variance / second moment (models/loss.py:88-108) ----
+    if K > 1:
+        Wp, Wpb = plane(1)
+        if variance_method == "direct":
+            Vv, Vvb = Wp ** 2, Wpb ** 2
+            Z = (X2 - lax.stop_gradient(Y)) ** 2
+            Zb = (X2 - lax.stop_gradient(Yb)) ** 2
+        else:
+            Vv, Vvb = Wp, Wpb
+            Z = X2 ** 2
+            Zb = Z
+        var_loss = two_term(dsum((Z - Vv) ** 2), dsum((Zb - Vvb) ** 2))
+        w1 = 1.0 if moment_weights is None else moment_weights[1]
+        total = total + w1 * var_loss
+
+    # ---- extended moments >= 2 (models/loss.py:110-133) ----
+    if extended_moments and K > 2:
+        for k in range(2, K):
+            p_k = k + 1
+            Wk, Wkb = plane(k)
+            if variance_method == "direct":
+                Zk = (X2 - lax.stop_gradient(Y)) ** p_k
+                Zkb = (X2 - lax.stop_gradient(Yb)) ** p_k
+            else:
+                Zk = X2 ** p_k
+                Zkb = Zk
+            lk = two_term(dsum((Zk - Wk) ** 2), dsum((Zkb - Wkb) ** 2))
+            wk = 1.0 if moment_weights is None else moment_weights[k]
+            total = total + wk * lk
+
+    if traj_mask is None:
+        return jnp.mean(total)
+    tm = traj_mask.astype(f32)
+    return jnp.sum(total * tm) / jnp.maximum(jnp.sum(tm), 1.0)
+
+
+def fused_step_loss(params, times, values, mask=None, *, num_moments: int,
+                    hidden_dim: int, activation: str, input_scaling: str,
+                    ignore_first_continuity: bool = False,
+                    moment_weights=None, eps: float = 1e-10,
+                    variance_method: str = "direct", traj_mask=None,
+                    extended_moments: bool = False, compute_dtype=None,
+                    interpret: bool = False, shared_network: bool = False,
+                    input_dim: int = 1, output_dim: int = 1,
+                    n_hidden_layers: int = 1):
+    """Model-pytree entry for the lane-space fused loss (packs params, then
+    :func:`fused_step_loss_packed`).  Differentiable in ``params``."""
+    W, V, bo2 = pack_params(params, num_moments=num_moments,
+                            hidden_dim=hidden_dim,
+                            shared_network=shared_network,
+                            input_dim=input_dim, output_dim=output_dim,
+                            n_hidden_layers=n_hidden_layers)
+    return fused_step_loss_packed(
+        W, V, bo2, times, values, mask, num_moments=num_moments,
+        activation=activation, input_scaling=input_scaling,
+        ignore_first_continuity=ignore_first_continuity,
+        moment_weights=moment_weights, eps=eps,
+        variance_method=variance_method, traj_mask=traj_mask,
+        extended_moments=extended_moments, compute_dtype=compute_dtype,
+        interpret=interpret, shared_network=shared_network,
+        input_dim=input_dim, output_dim=output_dim,
+        n_hidden_layers=n_hidden_layers)
+
+
 def fused_step_apply(params, times, values, *, num_moments: int,
                      hidden_dim: int, activation: str, input_scaling: str,
                      compute_dtype=None, interpret: bool = False,

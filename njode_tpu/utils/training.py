@@ -312,14 +312,17 @@ class Trainer:
 
     def _loss(self, params, times, values, mask, traj_mask=None, rng=None,
               training=False):
-        preds, preds_before = self.model.apply(params, times, values, mask,
-                                               rng=rng, training=training)
-        return nj_ode_loss_dense(values, preds, preds_before, mask,
-                                 ignore_first_continuity=self.ignore_first_continuity,
-                                 moment_weights=self.moment_weights,
-                                 variance_method=self.variance_method,
-                                 traj_mask=traj_mask,
-                                 extended_moments=self.extended_moments)
+        # model.apply_loss dispatches to the lane-space fused loss when the
+        # fused-step kernel carries the forward (r5i: the (B, N, d, K)
+        # cotangent-assembly glue it removes is 1.18-1.46x of the scaled
+        # training step) and composes apply + nj_ode_loss_dense otherwise.
+        return self.model.apply_loss(
+            params, times, values, mask, rng=rng, training=training,
+            ignore_first_continuity=self.ignore_first_continuity,
+            moment_weights=self.moment_weights,
+            variance_method=self.variance_method,
+            traj_mask=traj_mask,
+            extended_moments=self.extended_moments)
 
     # ----------------------------------------------------------- train step
 
@@ -865,11 +868,11 @@ class Trainer:
     def _loss_no_first(self, params, times, values, mask):
         # relative-loss eval uses default ignore_first_continuity=False,
         # matching the reference's eval-time nj_ode_loss calls (:225-227,:250)
-        preds, preds_before = self.model.apply(params, times, values, mask)
-        return nj_ode_loss_dense(values, preds, preds_before, mask,
-                                 moment_weights=self.moment_weights,
-                                 variance_method=self.variance_method,
-                                 extended_moments=self.extended_moments)
+        return self.model.apply_loss(
+            params, times, values, mask,
+            moment_weights=self.moment_weights,
+            variance_method=self.variance_method,
+            extended_moments=self.extended_moments)
 
     def compute_relative_loss(self, rel) -> float:
         L_model, L_true = rel["fn"](self.params, rel["times"], rel["values"],

@@ -139,7 +139,14 @@ def main():
                                 input_dim=d_x, output_dim=d_x,
                                 n_hidden_layers=args.layers)
                         else:
-                            preds, before = model.apply(pp, times, values, mask)
+                            # routes the 'step' arm through the lane-space
+                            # fused loss (r5i) and the 'xla' arm through the
+                            # composed apply + nj_ode_loss_dense — exactly
+                            # what each path runs in the Trainer/bench
+                            return model.apply_loss(
+                                pp, times, values, mask,
+                                ignore_first_continuity=True,
+                                moment_weights=[1.0, 10.0])
                         return nj_ode_loss_dense(values, preds, before, mask,
                                                  ignore_first_continuity=True,
                                                  moment_weights=[1.0, 10.0])

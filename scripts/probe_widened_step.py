@@ -9,9 +9,12 @@ probe measures (chain-M-vs-4M marginal, scaled shapes) a grid of
 (d_x, d_y) x arms:
 
   step  : full training step (model.apply -> kernel, loss, Adam) [d_y=d_x]
+  fstep : same step but with the LANE-SPACE fused loss
+          (ops.fused_step.fused_step_loss — r5i candidate)  [d_y=d_x]
   pstep : packed-state training step (no per-step pack/unpack glue)
   lgrad : value_and_grad of the packed loss (kernel fwd+bwd + loss
           fwd+bwd; no Adam)                               [d_y=d_x]
+  flgrad: value_and_grad of the packed LANE-SPACE loss     [d_y=d_x]
   lfwd  : packed loss forward only                        [d_y=d_x]
   adam  : tx.update + apply_updates on fixed grads (Adam alone)
   kgrad : value_and_grad of sum(fused_step_apply_packed) wrt (W, V, bo2)
@@ -70,7 +73,9 @@ def main():
 
     from njode_tpu import NeuralJumpODE
     from njode_tpu.models import nj_ode_loss_dense
-    from njode_tpu.ops.fused_step import fused_step_apply_packed, pack_params
+    from njode_tpu.ops.fused_step import (fused_step_apply_packed,
+                                          fused_step_loss,
+                                          fused_step_loss_packed, pack_params)
     from njode_tpu.utils import make_adam
     from njode_tpu.utils.backend import ensure_backend
 
@@ -117,10 +122,25 @@ def main():
                                      ignore_first_continuity=True,
                                      moment_weights=[1.0, 10.0])
 
+        def floss_of(p, dx=d_x):
+            return fused_step_loss(
+                p, times, values, mask, num_moments=K, hidden_dim=H,
+                activation="relu", input_scaling="identity",
+                ignore_first_continuity=True, moment_weights=[1.0, 10.0],
+                input_dim=dx, output_dim=dx, n_hidden_layers=L)
+
+        def pfloss_of(pp, dx=d_x):
+            return fused_step_loss_packed(
+                *pp, times, values, mask, num_moments=K,
+                activation="relu", input_scaling="identity",
+                ignore_first_continuity=True, moment_weights=[1.0, 10.0],
+                input_dim=dx, output_dim=dx, n_hidden_layers=L)
+
         def make_chain(arm, n):
-            if arm in ("step", "pstep"):
-                p0 = params if arm == "step" else packed
-                lfn = loss_of if arm == "step" else ploss_of
+            if arm in ("step", "pstep", "fstep"):
+                p0 = packed if arm == "pstep" else params
+                lfn = {"step": loss_of, "pstep": ploss_of,
+                       "fstep": floss_of}[arm]
                 s0 = tx.init(p0)
 
                 def run(k):
@@ -134,8 +154,9 @@ def main():
                         return (optax.apply_updates(p, updates), s), loss
                     (_, _), losses = lax.scan(body, (p, s0), None, length=n)
                     return losses[-1]
-            elif arm == "lgrad":
-                lg = jax.value_and_grad(ploss_of)
+            elif arm in ("lgrad", "flgrad"):
+                lg = jax.value_and_grad(ploss_of if arm == "lgrad"
+                                        else pfloss_of)
 
                 def run(k):
                     pp = jax.tree_util.tree_map(
@@ -205,7 +226,8 @@ def main():
             return jax.jit(run)
 
         for arm in args.arms.split(","):
-            if arm in ("step", "pstep", "lgrad", "lfwd") and d_y != d_x:
+            if (arm in ("step", "fstep", "pstep", "lgrad", "flgrad", "lfwd")
+                    and d_y != d_x):
                 continue  # the loss needs output_dim == input_dim
             f1, f4 = make_chain(arm, args.m), make_chain(arm, 4 * args.m)
             t0 = time.perf_counter()
@@ -236,6 +258,14 @@ def main():
             if "step" in r:
                 line += f", pack-glue {(r['step']-r['pstep'])*1e3:.3f}"
             print(line, flush=True)
+        if {"step", "fstep"} <= r.keys():
+            print(f"{cfg}: lane-space loss step {r['fstep']*1e3:.3f} vs "
+                  f"composed {r['step']*1e3:.3f} = "
+                  f"{r['step']/r['fstep']:.2f}x", flush=True)
+        if {"lgrad", "flgrad"} <= r.keys():
+            print(f"{cfg}: lane-space lgrad {r['flgrad']*1e3:.3f} vs "
+                  f"composed {r['lgrad']*1e3:.3f} = "
+                  f"{r['lgrad']/r['flgrad']:.2f}x", flush=True)
         if {"lgrad", "kgrad"} <= r.keys():
             line = f"{cfg}: loss-fwd+bwd {(r['lgrad']-r['kgrad'])*1e3:.3f}"
             if "lfwd" in r:

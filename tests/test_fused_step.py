@@ -491,3 +491,115 @@ def test_auto_engages_fused_step_in_measured_regime(monkeypatch):
     ms = NeuralJumpODE(input_dim=1, hidden_dim=32, output_dim=1,
                        num_moments=2, use_pallas="step-interpret")
     assert ms._use_fused_step(2) is True
+
+
+# ---------------------------------------------------------------- lane loss
+
+LOSS_CFGS = [
+    # (d, L, K, shared, N, variance_method, extended, ignore_first)
+    (1, 1, 2, False, 5, "direct", False, True),
+    (1, 1, 2, False, 1, "direct", False, False),
+    (2, 1, 2, False, 4, "direct", False, True),
+    (2, 2, 2, False, 3, "second_moment", False, True),
+    (1, 1, 3, False, 4, "direct", True, True),
+    (1, 1, 2, True, 5, "direct", False, True),
+    (3, 1, 3, True, 3, "second_moment", True, False),
+]
+
+
+@pytest.mark.parametrize("d,L,K,shared,N,varm,ext,ifc", LOSS_CFGS)
+def test_lane_space_loss_parity(d, L, K, shared, N, varm, ext, ifc):
+    """fused_step_loss == model.apply + nj_ode_loss_dense (value AND grads).
+
+    The lane-space loss (r5i) selects moment planes straight from the
+    kernel's (B, LANES) output with constant 0/1 matmuls so the (B, N, d, K)
+    prediction tensor (and its cotangent) is never materialized; this pins
+    that the rewritten math is the SAME loss — masked slots, padded
+    trajectories, both variance modes, extended moments, slot-0 before-jump
+    conventions, eps-inside-sqrt reduction order.
+    """
+    from njode_tpu.ops import fused_step_loss
+
+    model = NeuralJumpODE(input_dim=d, output_dim=d, hidden_dim=24,
+                          num_moments=K, n_hidden_layers=L,
+                          shared_network=shared)
+    params = model.init(jax.random.PRNGKey(hash((d, L, K)) % 1000))
+    times, values = _batch(6, N, seed=11, d_x=d)
+    mask = jnp.ones((6, N), bool)
+    if N > 2:
+        mask = mask.at[-1, -2:].set(False)
+    traj_mask = jnp.ones((6,), bool).at[-2].set(False)
+    mw = [1.0] + [10.0] * (K - 1)
+    kw = dict(ignore_first_continuity=ifc, moment_weights=mw,
+              variance_method=varm, traj_mask=traj_mask,
+              extended_moments=ext)
+
+    def ref_loss(p):
+        preds, before = model.apply(p, times, values, mask)
+        return nj_ode_loss_dense(values, preds, before, mask, **kw)
+
+    def lane_loss(p):
+        return fused_step_loss(
+            p, times, values, mask, num_moments=K, hidden_dim=24,
+            activation="relu", input_scaling="identity", interpret=True,
+            shared_network=shared, input_dim=d, output_dim=d,
+            n_hidden_layers=L, **kw)
+
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+    v_f, g_f = jax.value_and_grad(lane_loss)(params)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(ka)}")
+
+
+def test_lane_space_loss_rejects_mismatched_dims():
+    from njode_tpu.ops import fused_step_loss
+
+    model = NeuralJumpODE(input_dim=2, output_dim=1, hidden_dim=24,
+                          num_moments=2)
+    params = model.init(jax.random.PRNGKey(0))
+    times, values = _batch(4, 3, d_x=2)
+    with pytest.raises(ValueError, match="output_dim == input_dim"):
+        fused_step_loss(params, times, values, num_moments=2, hidden_dim=24,
+                        activation="relu", input_scaling="identity",
+                        interpret=True, input_dim=2, output_dim=1)
+
+
+def test_apply_loss_dispatch_and_fallback():
+    """model.apply_loss: lane-space path where the kernel carries the
+    forward; silent composed fallback for d_y != d_x and dropout+rng."""
+    xla, fused, params = _models()
+    times, values = _batch(6, 5, seed=7)
+    mask = jnp.ones(times.shape, bool).at[-1, -1:].set(False)
+    kw = dict(ignore_first_continuity=True, moment_weights=[1.0, 10.0])
+
+    preds, before = xla.apply(params, times, values, mask)
+    ref = float(nj_ode_loss_dense(values, preds, before, mask, **kw))
+    got = float(fused.apply_loss(params, times, values, mask, **kw))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # mismatched dims: apply_loss must FALL BACK, not raise
+    cfg = dict(MODEL_KW, input_dim=2, output_dim=1)
+    m2 = NeuralJumpODE(use_pallas="step-interpret", **cfg)
+    assert m2._use_fused_step(4)
+    p2 = m2.init(jax.random.PRNGKey(1))
+    t2, v2 = _batch(5, 4, seed=9, d_x=2)
+    pr, pb = m2.apply(p2, t2, v2)
+    ref2 = float(nj_ode_loss_dense(v2, pr, pb, None, **kw))
+    got2 = float(m2.apply_loss(p2, t2, v2, **kw))
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5)
+
+    # dropout + rng: training path needs per-layer rng -> composed fallback
+    m3 = NeuralJumpODE(use_pallas="step-interpret",
+                       **dict(MODEL_KW, dropout_rate=0.4))
+    p3 = m3.init(jax.random.PRNGKey(2))
+    rng = jax.random.PRNGKey(3)
+    pr3, pb3 = m3.apply(p3, times, values, mask, rng=rng, training=True)
+    ref3 = float(nj_ode_loss_dense(values, pr3, pb3, mask, **kw))
+    got3 = float(m3.apply_loss(p3, times, values, mask, rng=rng,
+                               training=True, **kw))
+    np.testing.assert_allclose(got3, ref3, rtol=1e-5)
