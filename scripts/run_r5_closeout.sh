@@ -19,7 +19,7 @@ run() {
   local label="$1"; shift
   echo "=== $label: $*" >&2
   local line
-  line=$(timeout 1200 python bench.py "$@" 2>>/tmp/r5_closeout.err)
+  line=$(timeout 1800 python bench.py "$@" 2>>/tmp/r5_closeout.err)
   echo "{\"row\": \"$label\", \"bench\": $line}" >> "$OUT"
   echo "$label done: $line" >&2
 }
