@@ -300,7 +300,8 @@ def main():
             not_eligible_msg = (
                 "--pallas-train with --dt-ode-step routes to the walk-train "
                 "kernel: config not eligible (needs --shared-network, "
-                "grid-aligned observation times, euler, f(0)=0 activation, "
+                "grid-aligned observation times, euler/heun/rk4, "
+                "f(0)=0 activation, "
                 "float32, hidden_dim + 3 <= 128/halves, batch a multiple "
                 "of 8*halves and <= 256 with cells*rows in the VMEM "
                 "residual budget, obs slots <= 63)")
@@ -368,7 +369,8 @@ def main():
                     hidden_dim=args.hidden_dim,
                     dt_ode_step=args.dt_ode_step, max_substeps=M_cells,
                     lr=1e-3, weight_decay=5e-4, moment_weights=WEIGHTS,
-                    mxu_dtype=args.train_kernel_mxu)
+                    mxu_dtype=args.train_kernel_mxu,
+                    ode_solver=args.ode_solver)
                 params = unpack_walk_params(st[0], st[1], num_moments=2,
                                             hidden_dim=args.hidden_dim)
             else:

@@ -36,10 +36,21 @@ exactly ``k`` uniform steps — the documented grid-walk equivalence,
 models/jump_ode.py ``_integrate_gaps_grid``).
 
 Scope: SHARED network (the production recipes), d_x = d_y = 1,
-n_hidden_layers = 1, no dropout, euler, fixed ``dt_ode_step`` with every
+n_hidden_layers = 1, no dropout, fixed ``dt_ode_step`` with every
 observation time ON the integration grid (the caller's ``grid_walk``
 promise), K in (1, 2) moments, ``ignore_first_continuity=True``, full
 observation mask, f32 state (optional bf16 matmul operands).
+
+Solvers: euler (the reference-exact step, ``t_elapsed = dt`` via the
+effective const-one row ``cvec = dt*w1_tel + b1``), plus heun and rk4
+(r5: the model's fixed-step higher-order extensions,
+models/jump_ode.py:446-487 — stage evaluations use ``t_rel = stage
+time`` and ``t_elapsed = 0``, so their cvec is ``b1`` alone and the
+``w1_tel`` row receives an exactly-zero gradient).  All three share one
+tableau-driven cell: euler is the one-stage identity tableau, which
+emits operation-for-operation the same program as before.  The backward
+recomputes each cell's stages from the post-reset residual (the ring
+stores one row per cell regardless of stage count).
 
 Row-pair packing: for hidden_dim + 3 <= 64, TWO trajectories pack into
 each 128-lane vector row (per-half carry lanes ``[h, t, x, 1]``, weight
@@ -99,6 +110,19 @@ N_VEC = 16
 # /root/reference/neural_jump_ode/models/jump_ode.py:196-202).
 _VMEM_ROWS_MAX = 14336
 
+# Explicit RK tableaux: per stage ((a_ij coefficients on earlier k's), c_i
+# stage-time offset in dt units), plus the combination weights b_i.  Euler
+# is the one-stage identity tableau — with it the cell emits the exact
+# pre-r5 program (multiplies by 1.0 and empty a_ij rows are skipped at
+# trace time).
+_TABLEAU = {
+    "euler": ((((), 0.0),), (1.0,)),
+    "heun": ((((), 0.0), (((0, 1.0),), 1.0)), (0.5, 0.5)),
+    "rk4": ((((), 0.0), (((0, 0.5),), 0.5), (((1, 0.5),), 0.5),
+             (((2, 1.0),), 1.0)), (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0,
+                                   1.0 / 6.0)),
+}
+
 
 def _ring_plan(rt: int, n_slots: int, max_substeps: int):
     """(ring_cells, n_ckpt) residual plan fitting the VMEM row budget, or
@@ -129,7 +153,7 @@ def walk_train_available(shared_network, input_dim, output_dim,
     return (HAS_PALLAS and shared_network and input_dim == 1
             and output_dim == 1 and n_hidden_layers == 1
             and dropout_rate == 0.0 and dt_ode_step is not None
-            and ode_solver == "euler"
+            and ode_solver in _TABLEAU
             and activation in _ACT and input_scaling in _SCALE)
 
 
@@ -162,7 +186,7 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                        lr: float, wd: float, b1: float, b2: float,
                        eps_adam: float, eps_loss: float,
                        w0m: float, w1m: float, variance_method: str,
-                       mxu: str = "float32"):
+                       mxu: str = "float32", solver: str = "euler"):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
 
@@ -260,15 +284,19 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
         sym_w = lambda g: jnp.where(kron, g, 0.0)
         sym_v = lambda g: g
 
-    # ---- effective walk weights (cvec = dt*w1_tel + b1 on the one-row;
-    # the bias broadcast is masked to the kron diagonal — each half's
-    # const-one lane must not feed the OTHER half's columns) ----
+    # ---- effective walk weights (cvec on the one-row: euler feeds the
+    # reference's t_elapsed = dt through dt*w1_tel + b1; heun/rk4 stages
+    # evaluate at t_elapsed = 0 so their cvec is b1 alone.  The bias
+    # broadcast is masked to the kron diagonal — each half's const-one
+    # lane must not feed the OTHER half's columns) ----
+    stages, bweights = _TABLEAU[solver]
+    tel = dt if solver == "euler" else 0.0
     b1row = sV[ROW_B1:ROW_B1 + 1]
     b2row = sV[ROW_B2:ROW_B2 + 1]
-    W1eff = jnp.where(one_row,
-                      jnp.where(kron, dt * sW[MAT_W1]
-                                + jnp.broadcast_to(b1row, (LANES, LANES)),
-                                0.0), sW[MAT_W1])
+    cvec = jnp.broadcast_to(b1row, (LANES, LANES))
+    if tel:
+        cvec = tel * sW[MAT_W1] + cvec
+    W1eff = jnp.where(one_row, jnp.where(kron, cvec, 0.0), sW[MAT_W1])
     W2eff = jnp.where(one_row,
                       jnp.where(kron,
                                 jnp.broadcast_to(b2row, (LANES, LANES)),
@@ -305,8 +333,33 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     chunked = ck < M
     n_ck = -(-M // ck)
 
+    def stage_in(cp, ks, aij, ci):
+        """Stage input: cp with h lanes nudged by earlier k's and the t
+        lane advanced to the stage time (k's are zero off the h lanes, so
+        only the explicit t-lane offset is needed)."""
+        s_in = cp
+        for j, a in aij:
+            s_in = s_in + (dt * a) * ks[j]
+        if ci:
+            s_in = s_in + jnp.where(lane_t, dt * ci, 0.0)
+        return s_in
+
+    def drift(s_in):
+        """ODEFunc at one stage input; k = dh/dt lives on the h lanes."""
+        inp = jnp.where(is_h, SC(s_in), s_in)
+        pre = mm(inp, W1eff)
+        hid = jnp.where(lane_one, 1.0, A(pre))
+        return inp, pre, hid, mm(hid, W2eff)
+
+    def combine(cp, ks):
+        acc = ks[0] if bweights[0] == 1.0 else bweights[0] * ks[0]
+        for i in range(1, len(ks)):
+            acc = acc + (ks[i] if bweights[i] == 1.0
+                         else bweights[i] * ks[i])
+        return cp + dt * acc + t_add
+
     def walk_cell(g, slot, capture_hm: bool):
-        """One forward walk cell: reset-select, residual store, Euler."""
+        """One forward walk cell: reset-select, residual store, solver."""
         gf = g.astype(f32)
         c = c_s[:]
         cp = c
@@ -316,11 +369,11 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
                 sHM[s] = jnp.where(sel, c, sHM[s])
             cp = jnp.where(sel, TAB[s], cp)
         cpost[slot] = cp
-        inp = jnp.where(is_h, SC(cp), cp)
-        pre = mm(inp, W1eff)
-        hid = jnp.where(lane_one, 1.0, A(pre))
-        dh_ = mm(hid, W2eff)
-        c_s[:] = cp + dt * dh_ + t_add
+        ks = []
+        for aij, ci in stages:
+            _, _, _, k = drift(stage_in(cp, ks, aij, ci))
+            ks.append(k)
+        c_s[:] = combine(cp, ks)
 
     def fbody(g, _):
         if chunked:
@@ -434,20 +487,35 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     ga_s[:] = ga0
 
     def back_cell(g, slot):
-        """One backward walk cell, residual from ring slot ``slot``."""
+        """One backward walk cell, residual from ring slot ``slot``: the
+        cell's stages are recomputed from the post-reset carry (one ring
+        row per cell regardless of stage count), then reversed — each
+        stage's k-cotangent collects the combination weight plus the
+        downstream stages' a_ij feedbacks."""
         gf = g.astype(f32)
         cp = cpost[slot]
-        inp = jnp.where(is_h, SC(cp), cp)
-        pre = mm(inp, W1eff)
-        hid = jnp.where(lane_one, 1.0, A(pre))
+        res, ks = [], []
+        for aij, ci in stages:
+            s_in = stage_in(cp, ks, aij, ci)
+            inp, pre, hid, k = drift(s_in)
+            res.append((s_in, inp, pre, hid))
+            ks.append(k)
         gA = ga_s[:]
-        g_dh = dt * gA
-        dw2_s[:] += outer(hid, g_dh)
-        g_hid = mmT(g_dh, W2eff)
-        g_pre = jnp.where(lane_one, 0.0, g_hid) * AG(pre)
-        dw1_s[:] += outer(inp, g_pre)
-        g_inp = mmT(g_pre, W1eff)
-        g_cp = jnp.where(is_h, gA + g_inp * SG(cp), 0.0)
+        gks = [(dt * bw) * gA for bw in bweights]
+        gcp = gA
+        for i in reversed(range(len(stages))):
+            s_in, inp, pre, hid = res[i]
+            gk = gks[i]
+            dw2_s[:] += outer(hid, gk)
+            g_hid = mmT(gk, W2eff)
+            g_pre = jnp.where(lane_one, 0.0, g_hid) * AG(pre)
+            dw1_s[:] += outer(inp, g_pre)
+            g_inp = mmT(g_pre, W1eff)
+            g_s = jnp.where(is_h, g_inp * SG(s_in), 0.0)
+            gcp = gcp + g_s
+            for j, a in stages[i][0]:
+                gks[j] = gks[j] + (dt * a) * g_s
+        g_cp = jnp.where(is_h, gcp, 0.0)
         nxt = g_cp
         for s in range(N):
             sel = Gs[s] == gf
@@ -498,8 +566,10 @@ def _walk_train_kernel(data_ref, w0_ref, v0_ref, mw0_ref, vw0_ref, mv0_ref,
     dW2k = jnp.where(kron, dw2_s[:], 0.0)
     db1 = sym_v(colsum(jnp.where(one_row, dW1k, 0.0)))
     db2 = sym_v(colsum(jnp.where(one_row, dW2k, 0.0)))
+    # one-row (cvec) cotangent -> w1_tel at the solver's t_elapsed (dt for
+    # euler; exactly 0 for heun/rk4 — their stages never see t_elapsed)
     dW1 = sym_w(jnp.where(col_h,
-                          jnp.where(one_row, dt * dW1k,
+                          jnp.where(one_row, tel * dW1k,
                                     jnp.where(sub_r <= d_h + 2, dW1k, 0.0)),
                           0.0))
     dW2 = sym_w(jnp.where(row_h & col_h, dW2k, 0.0))
@@ -697,7 +767,7 @@ def _make_walk_core(N: int, K: int, M: int, ck: int, RT: int, nh: int,
                     dt: float, act: str, scale: str, lr: float, wd: float,
                     b1: float, b2: float, eps_adam: float, eps_loss: float,
                     w0m: float, w1m: float, variance_method: str,
-                    interpret: bool, mxu: str):
+                    interpret: bool, mxu: str, solver: str):
     n_ck = -(-M // ck) if ck < M else 1   # ckpt buffer rows (1 = unused)
 
     def call(data, W, V, mW, vW, mV, vV, stat):
@@ -716,7 +786,7 @@ def _make_walk_core(N: int, K: int, M: int, ck: int, RT: int, nh: int,
                 nh=nh,
                 act=act, scale=scale, lr=lr, wd=wd, b1=b1, b2=b2,
                 eps_adam=eps_adam, eps_loss=eps_loss, w0m=w0m, w1m=w1m,
-                variance_method=variance_method, mxu=mxu),
+                variance_method=variance_method, mxu=mxu, solver=solver),
             grid=(G,),
             in_specs=[row, full(WS), full(VS), full(WS), full(WS),
                       full(VS), full(VS), full((8, LANES))],
@@ -762,7 +832,7 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
                          betas=(0.9, 0.999), adam_eps: float = 1e-8,
                          interpret: bool = False,
                          mxu_dtype: str = "float32",
-                         ring_cells=None):
+                         ring_cells=None, ode_solver: str = "euler"):
     """Run ``data.shape[0] // batch_size`` fused walk-train Adam steps.
 
     ``data``: (G*batch_size, LANES) rows from
@@ -776,6 +846,9 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
     """
     if mxu_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"walk-train kernel: unknown mxu_dtype {mxu_dtype!r}")
+    if ode_solver not in _TABLEAU:
+        raise ValueError(f"walk-train kernel: unknown ode_solver "
+                         f"{ode_solver!r} (one of {sorted(_TABLEAU)})")
     if num_moments not in (1, 2):
         raise ValueError("walk-train kernel: K in (1, 2) moments only")
     if not walk_train_shapes_ok(hidden_dim, batch_size, n_slots,
@@ -805,6 +878,6 @@ def fused_walk_train_run(state, data, *, n_slots: int, num_moments: int,
         float(dt_ode_step), activation, input_scaling, float(lr),
         float(weight_decay), float(betas[0]), float(betas[1]),
         float(adam_eps), float(eps), float(moment_weights[0]), w1m,
-        variance_method, interpret, mxu_dtype)
+        variance_method, interpret, mxu_dtype, ode_solver)
     out = core(data, *state)
     return tuple(out[1:]), out[0][:, 0, 0]

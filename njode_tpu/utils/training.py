@@ -475,8 +475,8 @@ class Trainer:
                 m._scale_key, m.dt_ode_step, m.ode_solver):
             problems.append(
                 "model config (needs --shared-network, input/output dim 1, "
-                "one hidden layer, no dropout, euler, --dt-ode-step, an "
-                "f(0)=0 activation/scaling)")
+                "one hidden layer, no dropout, euler/heun/rk4, "
+                "--dt-ode-step, an f(0)=0 activation/scaling)")
         if not m.grid_walk:
             problems.append(
                 "grid_walk off — the kernel integrates on the fixed "
@@ -676,7 +676,8 @@ class Trainer:
                         variance_method=self.variance_method,
                         interpret=interpret, betas=betas, adam_eps=adam_eps,
                         activation=m._act_key, mxu_dtype=mxu,
-                        input_scaling=m._scale_key, **kd)
+                        input_scaling=m._scale_key,
+                        ode_solver=m.ode_solver, **kd)
                 else:
                     kst2, step_losses = fused_train_run(
                         kst, data, n_slots=times.shape[1], batch_size=bs,
@@ -1185,14 +1186,30 @@ def _resolve_grid_walk(config: Dict,
         return False
     if use_pallas_cfg not in ("auto", True, "train"):
         return False
-    if (config.get("ode_solver", "euler") != "euler"
-            or config.get("compute_dtype") not in (None, "float32", "none")
+    solver = config.get("ode_solver", "euler")
+    if (config.get("compute_dtype") not in (None, "float32", "none")
             or int(config.get("ensemble", 0) or 0) > 1):
         return False
     if not _grid_walk_aligned(config):
         return False
     from ..models.activations import (canonical_activation,
                                       canonical_input_scaling)
+    if solver != "euler":
+        # only the whole-run walk-train kernel carries non-euler walks
+        # (the fused walk kernel is euler-only, so apply/validation keeps
+        # the per-gap XLA path under 'auto'); engage grid_walk exactly
+        # when that kernel's static config gate passes (r5 — the Trainer
+        # re-checks shapes at train() time)
+        from ..ops.walk_train import walk_train_available
+        return walk_train_available(
+            bool(config.get("shared_network", False)),
+            int(config.get("input_dim", 1)),
+            int(config.get("output_dim", config.get("input_dim", 1))),
+            int(config.get("n_hidden_layers", 1)),
+            canonical_activation(config.get("activation", "relu")),
+            float(config.get("dropout_rate", 0.0)),
+            canonical_input_scaling(config.get("input_scaling", "identity")),
+            dt, solver)
     from ..ops.walk_scan import walk_scan_available
     return walk_scan_available(
         int(config.get("n_hidden_layers", 1)),

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--obs-fraction", type=float, default=0.1)
     ap.add_argument("--dt-ode-step", type=float, default=0.01)
     ap.add_argument("--n-steps", type=int, default=100)
+    ap.add_argument("--ode-solver", type=str, default="euler")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -78,7 +79,7 @@ def main():
             input_dim=1, hidden_dim=args.hidden, output_dim=1,
             num_moments=2, n_hidden_layers=1, activation="relu",
             variance_method="direct", t_max=1.0, shared_network=True,
-            dt_ode_step=args.dt_ode_step,
+            dt_ode_step=args.dt_ode_step, ode_solver=args.ode_solver,
             use_pallas=("auto" if arm == "composed" else False),
             grid_walk=(arm == "composed"))
         tx = make_adam(1e-3, 5e-4)
@@ -122,7 +123,8 @@ def main():
             kw = dict(n_slots=N, num_moments=2, batch_size=B,
                       hidden_dim=args.hidden, dt_ode_step=args.dt_ode_step,
                       max_substeps=max_sub, lr=1e-3, weight_decay=5e-4,
-                      moment_weights=[1.0, 10.0], mxu_dtype=mxu)
+                      moment_weights=[1.0, 10.0], mxu_dtype=mxu,
+                      ode_solver=args.ode_solver)
 
             def chain(n):
                 data = pack_minibatches(times[:n * B], values[:n * B],

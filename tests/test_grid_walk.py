@@ -181,7 +181,17 @@ def test_resolve_grid_walk_policy():
     assert not auto(cfg(0.02))                       # misaligned grid
     assert not auto(cfg(0.01, n_hidden_layers=2))    # kernel-ineligible
     assert not auto(cfg(0.01, dropout_rate=0.1))
-    assert not auto(cfg(0.01, ode_solver="rk4"))
+    # non-euler solvers: only the whole-run walk-TRAIN kernel can carry
+    # the walk (r5), so 'auto' engages exactly for its static config gate
+    # (shared network etc.) — and still only on an aligned grid, which
+    # bounds dt to the data spacing (dt=0.05 over an 0.01 grid stays on
+    # the composed per-gap path)
+    assert not auto(cfg(0.01, ode_solver="rk4"))        # separate networks
+    assert auto(cfg(0.01, ode_solver="rk4", shared_network=True))
+    assert auto(cfg(0.01, ode_solver="heun", shared_network=True))
+    assert not auto(cfg(0.05, ode_solver="rk4", shared_network=True))
+    assert not auto(cfg(0.01, ode_solver="rk4", shared_network=True),
+                    platform="cpu")
     assert not auto(cfg(0.01, ensemble=4))
     assert not auto(cfg(None))                       # nothing to walk
     assert not _resolve_grid_walk(cfg(0.01, s="off"), "tpu", True, "auto")

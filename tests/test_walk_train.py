@@ -153,6 +153,46 @@ def test_matches_optax_loop(variance_method):
     _assert_trees_close(p_ref, p_k)
 
 
+@pytest.mark.parametrize("solver", ["heun", "rk4"])
+def test_solver_matches_optax_loop(solver):
+    """Higher-order solvers in-kernel (r5): the tableau-driven cell must
+    match the XLA trainer running the same ode_solver — stage evaluations
+    at t_elapsed = 0, w1's t_elapsed row getting an exactly-zero gradient
+    (it only ever multiplies a zero feature), Adam included."""
+    G = 3
+    times, values = _data(G * BS, seed=11)
+    valid = jnp.ones((G * BS,), bool)
+    model = _model(ode_solver=solver)
+    params = model.init(jax.random.PRNGKey(6))
+
+    p_ref, l_ref = _reference_loop(model, params, times, values, valid, G,
+                                   1e-3, 5e-4)
+    p_k, l_k = _run_kernel(params, times, values, valid, G, 1e-3, 5e-4,
+                           ode_solver=solver)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref), rtol=2e-4)
+    _assert_trees_close(p_ref, p_k)
+
+
+def test_rk4_chunked_ring_matches_direct():
+    """Checkpoint-recompute residuals compose with the multi-stage cell:
+    forcing the ring below M must reproduce the direct rk4 kernel
+    bit-for-bit (same per-cell arithmetic, stages recomputed either way)."""
+    model = _model(ode_solver="rk4")
+    params = model.init(jax.random.PRNGKey(9))
+    G = 2
+    times, values = _data(G * BS, seed=12)
+    valid = jnp.ones((G * BS,), bool)
+    p_direct, l_direct = _run_kernel(params, times, values, valid, G,
+                                     1e-3, 5e-4, ode_solver="rk4")
+    p_chunk, l_chunk = _run_kernel(params, times, values, valid, G,
+                                   1e-3, 5e-4, ode_solver="rk4",
+                                   ring_cells=6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_direct),
+                    jax.tree_util.tree_leaves(p_chunk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(l_direct), np.asarray(l_chunk))
+
+
 def test_matches_optax_loop_single_lane():
     """hidden > 61 -> nh = 1 (no row pairing): same parity."""
     hidden, G = 70, 2
